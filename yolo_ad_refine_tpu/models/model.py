@@ -1,0 +1,165 @@
+"""Executable detection graph + task-model wrapper.
+
+Parity surface: reference ultralytics/nn/tasks.py BaseModel._predict_once
+(tasks.py:141-168, savelist feature routing) and DetectionModel:309-398
+(stride derivation, init). TPU-first differences:
+
+- The layer loop is unrolled at trace time into one XLA program; the
+  savelist becomes a dict of intermediates kept only as long as needed.
+- Strides are derived statically from input/feature shapes at trace time
+  (input_h / feat_h), replacing the reference's runtime dummy-forward probe
+  (tasks.py:335-349) and AYHead's hardcoded [8,16,32] fallback.
+- Train/eval head contract is the reference's: train -> per-level feats,
+  eval -> (decoded, feats).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolo_ad_refine_tpu.models.parser import LayerSpec, load_model_cfg, parse_model_yaml
+from yolo_ad_refine_tpu.nn.head import decode_detections
+from yolo_ad_refine_tpu.utils import LOGGER
+
+
+class DetectionGraph(nn.Module):
+    """Flax module executing the compiled yaml layer list with feature routing.
+
+    ``modules`` is a flat tuple of submodules (adopted by linen); ``froms``/
+    ``save``/``head_idx`` are static routing metadata from the parser.
+    """
+
+    modules: tuple            # tuple[nn.Module], one per yaml row
+    froms: tuple              # per-layer 'from' (int or tuple of ints)
+    save: tuple               # layer indices whose outputs are reused later
+    head_idx: int             # index of the detection head layer (-1 if none)
+    nc: int
+    reg_max: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        input_h = x.shape[1]
+        saved: dict[int, Any] = {}
+        out = x
+        for i, (m, f) in enumerate(zip(self.modules, self.froms)):
+            if i == self.head_idx:
+                feats = [out if j == -1 else saved[j] for j in f]
+                # train: per-level raw maps; eval: (decoded, per-level maps)
+                return m(feats, train=train, input_h=input_h)
+            if f == -1:
+                inp = out
+            elif isinstance(f, int):
+                inp = saved[f]
+            else:
+                inp = [out if j == -1 else saved[j] for j in f]
+            out = m(inp, train=train)
+            if i in self.save:
+                saved[i] = out
+        return out  # headless graph (feature extractor)
+
+
+class DetectionModel:
+    """Python-side task model: owns cfg, the flax graph, params and state.
+
+    The reference's DetectionModel (tasks.py:309) is an nn.Module; here the
+    stateless flax graph and the stateful wrapper are split, functional-style.
+    ``variables`` = {'params': ..., 'batch_stats': ...}.
+    """
+
+    task = "detect"
+
+    def __init__(self, cfg: str | dict = "yolo11n.yaml", ch: int = 3, nc: int | None = None,
+                 dtype=jnp.float32, verbose: bool = False):
+        self.yaml = load_model_cfg(cfg)
+        if nc and nc != self.yaml.get("nc"):
+            LOGGER.info(f"Overriding model.yaml nc={self.yaml.get('nc')} with nc={nc}")
+            self.yaml["nc"] = nc
+        self.dtype = dtype
+        self.specs, self.meta = parse_model_yaml(self.yaml, ch=ch, dtype=dtype, verbose=verbose)
+        self.nc = self.meta["nc"]
+        self.reg_max = 16
+        head_idx = next((s.i for s in self.specs if s.is_head), -1)
+        froms = tuple(tuple(s.f) if isinstance(s.f, list) else s.f for s in self.specs)
+        self.graph = DetectionGraph(
+            modules=tuple(s.module for s in self.specs),
+            froms=froms,
+            save=tuple(self.meta["save"]),
+            head_idx=head_idx,
+            nc=self.nc,
+            reg_max=self.reg_max,
+        )
+        self.head_spec: LayerSpec = self.specs[head_idx] if head_idx >= 0 else None
+        self.nl = len(self.head_spec.f) if self.head_spec is not None else 0
+        self.variables = None
+        self.strides = None
+
+    # -- params ------------------------------------------------------------
+    def init(self, key=None, imgsz: int = 640, batch: int = 1):
+        """Initialize params/batch_stats with a dummy NHWC input."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        dummy = jnp.zeros((batch, imgsz, imgsz, 3), dtype=self.dtype)
+        init_fn = jax.jit(lambda k, x: self.graph.init({"params": k}, x, train=False))
+        self.variables = jax.block_until_ready(init_fn(key, dummy))
+        self.probe_strides(imgsz)
+        return self.variables
+
+    def probe_strides(self, imgsz: int = 640):
+        """Static stride derivation via shape-only tracing (no FLOPs)."""
+        if self.head_spec is None:
+            return None
+        dummy = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), self.dtype)
+
+        def fwd(v, x):
+            return self.graph.apply(v, x, train=False)[1]  # eval path: (y, feats)
+
+        if self.variables is not None:
+            var_shapes = self.variables
+        else:
+            var_shapes = jax.eval_shape(
+                lambda: self.graph.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3), self.dtype)
+                )
+            )
+        feats = jax.eval_shape(fwd, var_shapes, dummy)
+        self.strides = tuple(imgsz // f.shape[1] for f in feats)
+        return self.strides
+
+    # -- forward -----------------------------------------------------------
+    def apply(self, variables, x, train: bool = False, rngs=None, mutable=False):
+        """Pure functional forward. train=True returns per-level feats (and
+        updated batch_stats when mutable=True); eval returns (decoded, feats)."""
+        return self.graph.apply(
+            variables, x, train=train, rngs=rngs,
+            mutable=["batch_stats"] if (train and mutable) else False,
+        )
+
+    def __call__(self, x, train: bool = False, rngs=None):
+        assert self.variables is not None, "call .init() first"
+        if train:
+            if rngs is None:
+                rngs = {"dropout": jax.random.PRNGKey(0)}
+            out, _ = self.apply(self.variables, x, train=True, rngs=rngs, mutable=True)
+            return out
+        return self.apply(self.variables, x, train=False, rngs=rngs)
+
+    # -- info ---------------------------------------------------------------
+    def num_params(self) -> int:
+        if self.variables is None:
+            return 0
+        return sum(p.size for p in jax.tree.leaves(self.variables["params"]))
+
+    def info(self):
+        n = self.num_params()
+        LOGGER.info(f"model: {len(self.specs)} layers, {n:,} parameters, strides {self.strides}")
+        return {"layers": len(self.specs), "parameters": n, "strides": self.strides}
+
+
+def build_detection_model(cfg, nc=None, dtype=jnp.float32, seed: int = 0, imgsz: int = 640,
+                          verbose: bool = False) -> DetectionModel:
+    model = DetectionModel(cfg, nc=nc, dtype=dtype, verbose=verbose)
+    model.init(jax.random.PRNGKey(seed), imgsz=imgsz)
+    return model

@@ -1,0 +1,241 @@
+"""Yaml -> layer-graph compiler.
+
+Parity surface: reference ultralytics/nn/tasks.py:943-1108 (parse_model) and
+tasks.py:1111-1143 (yaml_model_load / guess_model_scale). Loads the
+reference's model yamls unchanged — including the fork's z-yaml configs with
+their ``head_channel`` / ``fusion_mode`` top-level variables — and reproduces
+its channel bookkeeping exactly:
+
+- depth gain: n = max(round(n * depth), 1) for n > 1
+- width gain: c2 = make_divisible(min(c2, max_channels) * width, 8) unless
+  c2 == nc; applies to the conv-family including bare nn.Conv2d /
+  nn.ConvTranspose2d rows (fork extension)
+- repeat insertion for CSP-family blocks; C3k2 forces c3k=True at m/l/x
+- ELA_HSFPN keeps channels; Multiply/Add take ch of the first input; Fusion
+  computes out-channels by mode; Detect/AYHead consume the per-level ch list.
+
+Output is a list of LayerSpec plus constructed (unbound) flax modules — the
+graph executor in models/model.py routes features by the static savelist, so
+the whole network traces into a single XLA program.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import jax.numpy as jnp
+
+from yolo_ad_refine_tpu.nn import block as B
+from yolo_ad_refine_tpu.nn import common as C
+from yolo_ad_refine_tpu.nn import head as H
+from yolo_ad_refine_tpu.nn import tssa as T
+from yolo_ad_refine_tpu.nn.common import make_divisible
+from yolo_ad_refine_tpu.utils import LOGGER, colorstr, yaml_load
+
+HEAD_MODULES = {"Detect", "AYHead", "AYHead1"}
+# modules whose first yaml arg is an out-channel subject to width scaling
+WIDTH_SCALED = {
+    "Conv", "DWConv", "SPPF", "C2f", "C3", "C3k2", "C2PSA",
+    "C3k2_MLCA", "C2TSSA_DYT_Mona_EDFFN", "C2SFA", "C2PTSSA",
+    "nn.Conv2d", "nn.ConvTranspose2d",
+}
+# CSP-family modules that receive the repeat count as constructor arg n
+REPEAT_MODULES = {
+    "C2f", "C3", "C3k2", "C2PSA", "C3k2_MLCA", "C2TSSA_DYT_Mona_EDFFN", "C2SFA", "C2PTSSA",
+}
+
+
+@dataclass
+class LayerSpec:
+    """One compiled yaml row."""
+
+    i: int                      # layer index
+    f: Any                      # 'from': int or list of ints (absolute after resolve)
+    name: str                   # module name as written in yaml
+    n: int                      # repeats materialised into the module
+    c2: int                     # output channels
+    module: Any                 # constructed (unbound) flax module
+    is_head: bool = False
+    args: list = field(default_factory=list)
+
+
+def guess_model_scale(path: str | Path) -> str:
+    """Extract the compound-scale suffix from a filename (yolo11n -> 'n')."""
+    m = re.search(r"yolo[v]?\d+([nslmx])", Path(path).stem)
+    return m.group(1) if m else ""
+
+
+def load_model_cfg(cfg: str | Path | dict) -> dict:
+    """Load a model yaml (dict passthrough) and record scale from filename.
+
+    Handles scale-suffixed names: 'yolo11n.yaml' resolves to 'yolo11.yaml'
+    with scale='n' (reference tasks.py:1111-1126 yaml_model_load).
+    """
+    if isinstance(cfg, dict):
+        return dict(cfg)
+    p = Path(cfg)
+    if not p.exists():
+        unified = p.with_name(re.sub(r"(\d+)([nslmx])(.*)\.", r"\1\3.", p.name))
+        if unified.exists():
+            p = unified
+    d = yaml_load(p, append_filename=True)
+    scale = guess_model_scale(cfg)
+    if scale:
+        d["scale"] = scale
+    return d
+
+
+def _substitute(args: list, variables: dict) -> list:
+    """Resolve string args: yaml top-level variables first, then literals."""
+    out = []
+    for a in args:
+        if isinstance(a, str):
+            if a in variables:
+                a = variables[a]
+            else:
+                try:
+                    a = ast.literal_eval(a)
+                except (ValueError, SyntaxError):
+                    pass
+        out.append(a)
+    return out
+
+
+def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = False):
+    """Compile a model yaml dict into layer specs.
+
+    Returns:
+        specs: list[LayerSpec]
+        meta: dict with nc, savelist (sorted layer indices whose outputs are
+              reused), scale info.
+    """
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    scale = d.get("scale")
+    depth, width, max_channels = d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0), float("inf")
+    if scales:
+        if not scale:
+            scale = tuple(scales.keys())[0]
+            LOGGER.warning(f"WARNING no model scale passed. Assuming scale='{scale}'.")
+        depth, width, max_channels = scales[scale]
+
+    # yaml-level user variables (fork extension: head_channel, fusion_mode, nc)
+    variables = {k: v for k, v in d.items() if k not in ("backbone", "head", "scales")}
+
+    ch_list = [ch]
+    specs: list[LayerSpec] = []
+    save: set[int] = set()
+
+    if verbose:
+        LOGGER.info(f"\n{'':>3}{'from':>20}{'n':>3}  {'module':<45}{'arguments':<30}")
+
+    for i, (f, n, name, args) in enumerate(d["backbone"] + d["head"]):
+        args = _substitute(list(args), variables)
+        n_orig = n
+        n = max(round(n * depth), 1) if n > 1 else n
+
+        is_head = name in HEAD_MODULES
+        module = None
+        c2 = ch_list[f] if isinstance(f, int) else ch_list[f[0]]
+
+        if name in WIDTH_SCALED:
+            c1 = ch_list[f]
+            c2 = args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            rest = args[1:]
+            if name in ("Conv", "DWConv"):
+                k = rest[0] if rest else 1
+                s = rest[1] if len(rest) > 1 else 1
+                cls = C.Conv if name == "Conv" else C.DWConv
+                module = cls(c2, k, s, dtype=dtype)
+            elif name == "SPPF":
+                module = B.SPPF(c2, rest[0] if rest else 5, dtype=dtype)
+            elif name in ("C2f", "C3"):
+                shortcut = rest[0] if rest else (name == "C3")
+                cls = B.C2f if name == "C2f" else B.C3
+                module = cls(c2, n, shortcut, dtype=dtype)
+                n = 1
+            elif name in ("C3k2", "C3k2_MLCA"):
+                c3k = rest[0] if rest else False
+                e = rest[1] if len(rest) > 1 else 0.5
+                shortcut = rest[2] if len(rest) > 2 else True
+                if name == "C3k2" and scale in ("m", "l", "x"):
+                    c3k = True  # reference tasks.py:1050-1051
+                cls = B.C3k2 if name == "C3k2" else B.C3k2MLCA
+                module = cls(c2=c2, n=n, c3k=c3k, e=e, shortcut=shortcut, dtype=dtype)
+                n = 1
+            elif name in ("C2PSA", "C2PTSSA", "C2TSSA_DYT_Mona_EDFFN", "C2SFA"):
+                e = rest[0] if rest else 0.5
+                cls = {
+                    "C2PSA": B.C2PSA,
+                    "C2PTSSA": T.C2PTSSA,
+                    "C2TSSA_DYT_Mona_EDFFN": T.C2TSSADyTMonaEDFFN,
+                    "C2SFA": T.C2PTSSA,  # C2SFA ablation maps to the PTSSA family; refined later
+                }[name]
+                module = cls(c2=c2, n=n, e=e if isinstance(e, float) else 0.5, dtype=dtype)
+                n = 1
+            elif name == "nn.Conv2d":
+                k = rest[0] if rest else 1
+                s = rest[1] if len(rest) > 1 else 1
+                module = C.PlainConv2d(c2, k, s, dtype=dtype)
+            elif name == "nn.ConvTranspose2d":
+                k = rest[0] if rest else 3
+                s = rest[1] if len(rest) > 1 else 2
+                p = rest[2] if len(rest) > 2 else 1
+                op = rest[3] if len(rest) > 3 else 1
+                module = C.PlainConvTranspose2d(c2, k, s, p, op, dtype=dtype)
+            del c1
+        elif name == "ELA_HSFPN":
+            c2 = ch_list[f]
+            flag = args[0] if args else True
+            module = B.ELAHSFPN(flag=flag, dtype=dtype)
+        elif name == "Multiply":
+            c2 = ch_list[f[0]]
+            module = B.Multiply()
+        elif name == "Add":
+            c2 = ch_list[f[0]]
+            module = B.Add()
+        elif name == "Fusion":
+            inc_list = tuple(ch_list[x] for x in f)
+            mode = args[0] if args else "bifpn"
+            c2 = sum(inc_list) if mode == "concat" else inc_list[0]
+            module = B.Fusion(inc_list=inc_list, fusion=mode, dtype=dtype)
+        elif name == "Concat":
+            c2 = sum(ch_list[x] for x in f)
+            module = C.Concat()
+        elif name == "nn.Upsample":
+            c2 = ch_list[f]
+            size = args[0] if args else None
+            sf = args[1] if len(args) > 1 else 2
+            mode = args[2] if len(args) > 2 else "nearest"
+            module = C.Upsample(size=size, scale_factor=sf, mode=mode)
+        elif name in ("Detect", "AYHead", "AYHead1"):
+            head_ch = tuple(ch_list[x] for x in f)
+            head_nc = args[0] if args else nc
+            cls = H.Detect if name == "Detect" else H.AYHead
+            module = cls(nc=head_nc, ch=head_ch, dtype=dtype)
+            c2 = 0
+        else:
+            raise KeyError(
+                f"yaml module '{name}' (layer {i}) is not implemented in yolo_ad_refine_tpu"
+            )
+
+        specs.append(LayerSpec(i=i, f=f, name=name, n=n_orig, c2=c2, module=module,
+                               is_head=is_head, args=args))
+        save.update(x % i for x in ([f] if isinstance(f, int) else list(f)) if x != -1)
+        if verbose:
+            LOGGER.info(f"{i:>3}{str(f):>20}{n_orig:>3}  {name:<45}{str(args):<30}")
+        if i == 0:
+            ch_list = []
+        ch_list.append(c2)
+
+    meta = {"nc": nc, "save": sorted(save), "scale": scale, "depth": depth, "width": width,
+            "ch": ch_list}
+    if verbose:
+        LOGGER.info(colorstr(f"model: {len(specs)} layers, save={sorted(save)}"))
+    return specs, meta

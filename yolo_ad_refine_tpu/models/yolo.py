@@ -1,0 +1,86 @@
+"""YOLO user facade (reference engine/model.py:29 Model + models/yolo/model.py YOLO).
+
+Mirrors the reference's user surface: YOLO(cfg_or_ckpt).train/val/predict.
+Train/val/predict wiring lands with the engine layer; model building and
+forward inference are live now.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+
+from yolo_ad_refine_tpu.models.model import DetectionModel, build_detection_model
+from yolo_ad_refine_tpu.utils import LOGGER, ROOT
+
+
+def _resolve_cfg(model: str | Path) -> Path:
+    """Find a model yaml by name: absolute path, cwd, or bundled cfg/models."""
+    import re
+
+    p = Path(model)
+    if p.exists():
+        return p
+    unified_name = re.sub(r"(\d+)([nslmx])(.*)\.", r"\1\3.", p.name)
+    for name in (p.name, unified_name):
+        bundled = ROOT / "cfg" / "models" / name
+        if bundled.exists():
+            return Path(model) if name == p.name and p.exists() else bundled
+    raise FileNotFoundError(f"model cfg '{model}' not found (looked in cwd and {ROOT / 'cfg' / 'models'})")
+
+
+class YOLO:
+    """User-facing model facade."""
+
+    def __init__(self, model: str | Path = "yolo11n.yaml", task: str = "detect",
+                 nc: int | None = None, dtype=jnp.float32, seed: int = 0, imgsz: int = 640,
+                 verbose: bool = False):
+        self.task = task
+        self.ckpt_path = None
+        model = str(model)
+        if model.endswith((".yaml", ".yml")):
+            from yolo_ad_refine_tpu.models.parser import guess_model_scale, load_model_cfg
+
+            cfg = load_model_cfg(_resolve_cfg(model))
+            if not cfg.get("scale") and guess_model_scale(model):
+                cfg["scale"] = guess_model_scale(model)
+            self.model: DetectionModel = build_detection_model(
+                cfg, nc=nc, dtype=dtype, seed=seed, imgsz=imgsz, verbose=verbose
+            )
+        else:
+            # checkpoint load path (orbax) — wired in engine.trainer
+            from yolo_ad_refine_tpu.engine.checkpoint import load_checkpoint
+
+            self.model, self.ckpt_path = load_checkpoint(model, dtype=dtype), model
+        self.overrides = {"model": model, "task": task}
+
+    # -- user surface (engine wiring) ---------------------------------------
+    def train(self, **kwargs):
+        from yolo_ad_refine_tpu.train.trainer import DetectionTrainer
+
+        overrides = {**self.overrides, **kwargs, "mode": "train"}
+        trainer = DetectionTrainer(overrides=overrides, model=self.model)
+        results = trainer.train()
+        self.model = trainer.model
+        return results
+
+    def val(self, **kwargs):
+        from yolo_ad_refine_tpu.engine.validator import DetectionValidator
+
+        overrides = {**self.overrides, **kwargs, "mode": "val"}
+        validator = DetectionValidator(args=overrides)
+        return validator(model=self.model)
+
+    def predict(self, source=None, **kwargs):
+        from yolo_ad_refine_tpu.engine.predictor import DetectionPredictor
+
+        overrides = {**self.overrides, **kwargs, "mode": "predict"}
+        predictor = DetectionPredictor(overrides=overrides)
+        return predictor(source=source, model=self.model)
+
+    def info(self):
+        return self.model.info()
+
+    def __call__(self, source=None, **kwargs):
+        return self.predict(source, **kwargs)

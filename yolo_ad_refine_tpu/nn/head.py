@@ -1,0 +1,312 @@
+"""Detection heads: stock Detect and the fork's AYHead.
+
+Parity surface (behavior): reference ultralytics/nn/modules/head.py
+- Detect:21-163 (cv2 reg / cv3 cls branches, DFL decode, bias init)
+- AYHead (=AYHead1):1049-1252 — decoupled head with TaskDecomposition (TOOD
+  dynamic layer attention, head.py:626), CrossTaskInteraction:722,
+  DyDCNv2 modulated-deformable alignment:751, CoordAtt:671,
+  ResidualBlockGN:1031, foreground-probability gating of cls logits, and
+  learnable per-level Scale:783 on the reg output.
+
+Contract (identical to the reference, WENTI notes): training forward returns
+the per-level raw feature list; eval forward returns ``(y, feats)`` where
+``y`` is (B, N, 4+nc) decoded xywh boxes (in input pixels) + sigmoided class
+scores. Strides are static attributes ([8, 16, 32] defaults for AYHead; the
+model builder probes them for Detect — reference tasks.py:335-349).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolo_ad_refine_tpu.nn.common import Conv, ConvGN, DWConv, conv2d, dfl_decode, hardswish, silu
+from yolo_ad_refine_tpu.nn.registry import register
+from yolo_ad_refine_tpu.ops.anchors import dist2bbox, make_anchors
+from yolo_ad_refine_tpu.ops.deform import modulated_deform_conv2d
+
+Dtype = Any
+
+HEAD_NAMES = ("Detect", "AYHead")  # modules treated as detection heads by the parser
+
+
+def decode_detections(feats_nhwc, strides, nc: int, reg_max: int = 16):
+    """Shared eval-time decode: per-level (B,H,W,no) -> (B, N, 4+nc).
+
+    Boxes are xywh in input-image pixels; scores are sigmoided.
+    Mirrors Detect._inference / AYHead.forward eval path.
+    """
+    b = feats_nhwc[0].shape[0]
+    no = 4 * reg_max + nc
+    flat = [f.reshape(b, -1, no) for f in feats_nhwc]
+    x_cat = jnp.concatenate(flat, axis=1)  # (B, N, no)
+    box, cls = x_cat[..., : 4 * reg_max], x_cat[..., 4 * reg_max :]
+    shapes = [(f.shape[1], f.shape[2]) for f in feats_nhwc]
+    anchors, stride_t = make_anchors(shapes, strides, 0.5)
+    dist = dfl_decode(box, reg_max)  # (B, N, 4) float32
+    dbox = dist2bbox(dist, anchors[None], xywh=True) * stride_t[None]
+    return jnp.concatenate([dbox, nn.sigmoid(cls.astype(jnp.float32))], axis=-1)
+
+
+@register
+class Detect(nn.Module):
+    """Stock YOLO11 anchor-free detect head (reference head.py:21-163)."""
+
+    nc: int = 80
+    ch: tuple = ()
+    strides: tuple = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False, input_h: int | None = None):
+        nl = len(self.ch)
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outputs = []
+        for i, x in enumerate(xs):
+            r = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            r = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(r, train)
+            r = nn.Conv(
+                4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                bias_init=nn.initializers.ones, name=f"cv2_{i}_2",
+            )(r)
+            # YOLO11 cls branch: 2x (DWConv 3x3 + Conv 1x1) then 1x1 logits
+            s = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cv3_{i}_0a")(x, train)
+            s = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0b")(s, train)
+            s = DWConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1a")(s, train)
+            s = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1b")(s, train)
+            cls_bias = math.log(5 / self.nc / (640 / self.strides[i]) ** 2)
+            s = nn.Conv(
+                self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                bias_init=nn.initializers.constant(cls_bias), name=f"cv3_{i}_2",
+            )(s)
+            outputs.append(jnp.concatenate([r, s], axis=-1))
+        assert nl == len(outputs)
+        if train:
+            return outputs
+        strides = (
+            tuple(input_h // f.shape[1] for f in outputs) if input_h is not None else self.strides
+        )
+        y = decode_detections(outputs, strides, self.nc, self.reg_max)
+        return y, outputs
+
+
+class TaskDecomposition(nn.Module):
+    """TOOD dynamic layer attention (reference head.py:626-669).
+
+    With stacked_convs groups: a per-image sigmoid gate scales each stacked
+    group of input channels before a shared 1x1 reduction conv — algebraically
+    identical to the reference's bmm with the gated conv weight.
+    """
+
+    feat_channels: int
+    stacked_convs: int = 1
+    la_down_rate: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, avg_feat=None, train: bool = False):
+        in_ch = self.feat_channels * self.stacked_convs
+        if avg_feat is None:
+            avg_feat = jnp.mean(feat, axis=(1, 2), keepdims=True)
+        w = conv2d(avg_feat, in_ch // self.la_down_rate, 1, dtype=self.dtype, name="la_conv1")
+        w = nn.relu(w)
+        w = nn.Conv(
+            self.stacked_convs, (1, 1), use_bias=True, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.001), name="la_conv2",
+        )(w)
+        gate = nn.sigmoid(w)  # (B, 1, 1, stacked)
+        # scale each stacked group of channels, then shared 1x1 reduction
+        b = feat.shape[0]
+        gated = feat.reshape(*feat.shape[:3], self.stacked_convs, self.feat_channels)
+        gated = gated * gate[..., None]
+        gated = gated.reshape(*feat.shape[:3], in_ch)
+        y = nn.Conv(
+            self.feat_channels, (1, 1), use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(0.01), name="reduction_conv",
+        )(gated)
+        y = nn.GroupNorm(num_groups=16, dtype=self.dtype, name="gn")(y)
+        return silu(y)
+
+
+class CoordAtt(nn.Module):
+    """Coordinate attention (reference head.py:671-707)."""
+
+    oup: int
+    reduction: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        mip = max(8, c // self.reduction)
+        x_h = jnp.mean(x, axis=2, keepdims=True)  # (b, h, 1, c)
+        x_w = jnp.mean(x, axis=1, keepdims=True).transpose(0, 2, 1, 3)  # (b, w, 1, c)
+        y = jnp.concatenate([x_h, x_w], axis=1)  # (b, h+w, 1, c)
+        y = conv2d(y, mip, 1, dtype=self.dtype, name="conv1")
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="bn1")(y)
+        y = hardswish(y)
+        y_h, y_w = y[:, :h], y[:, h:]
+        a_h = nn.sigmoid(conv2d(y_h, self.oup, 1, dtype=self.dtype, name="conv_h"))  # (b,h,1,o)
+        a_w = nn.sigmoid(conv2d(y_w, self.oup, 1, dtype=self.dtype, name="conv_w"))  # (b,w,1,o)
+        a_w = a_w.transpose(0, 2, 1, 3)  # (b,1,w,o)
+        return x * a_w * a_h
+
+
+class CrossTaskInteraction(nn.Module):
+    """Bidirectional gated cls/reg exchange (reference head.py:722-747)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cls_feat, reg_feat, train: bool = False):
+        c = self.channels
+        c2r = conv2d(cls_feat, c, 1, dtype=self.dtype, name="cls_to_reg")
+        r2c = conv2d(reg_feat, c, 1, dtype=self.dtype, name="reg_to_cls")
+        cls_gate = nn.sigmoid(
+            conv2d(jnp.concatenate([cls_feat, r2c], axis=-1), c, 1, dtype=self.dtype, name="cls_gate")
+        )
+        reg_gate = nn.sigmoid(
+            conv2d(jnp.concatenate([reg_feat, c2r], axis=-1), c, 1, dtype=self.dtype, name="reg_gate")
+        )
+        return cls_feat + r2c * cls_gate, reg_feat + c2r * reg_gate
+
+
+class DyDCNv2(nn.Module):
+    """Modulated deformable conv 3x3 + GroupNorm(16) (reference head.py:751-782).
+
+    The deformable sampling itself is the TPU gather kernel in
+    ops/deform.py (replaces mmcv.ops.ModulatedDeformConv2d).
+    """
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, offset, mask, train: bool = False):
+        c = x.shape[-1]
+        weight = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),  # torch conv default
+            (3, 3, c, self.out_channels),
+            jnp.float32,
+        )
+        y = modulated_deform_conv2d(x, offset, mask, weight.astype(x.dtype))
+        return nn.GroupNorm(num_groups=16, dtype=self.dtype, name="gn")(y)
+
+
+class ResidualBlockGN(nn.Module):
+    """Two Conv_GN 3x3 + projection shortcut (reference head.py:1031-1047)."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x if x.shape[-1] == self.c2 else ConvGN(self.c2, 1, act=False, dtype=self.dtype,
+                                                      name="shortcut")(x, train)
+        y = ConvGN(self.c2, 3, dtype=self.dtype, name="conv1")(x, train)
+        y = ConvGN(self.c2, 3, dtype=self.dtype, name="conv2")(y, train)
+        return y + res
+
+
+@register(name="AYHead", aliases=("AYHead1",))
+class AYHead(nn.Module):
+    """The flagship decoupled detect head (reference head.py:1049-1252).
+
+    Per level: Conv_GN 1x1 stem -> hidc = max(ch); shared Conv_GN 3x3 x2 ->
+    task_ch = hidc//2; TaskDecomposition x2; CrossTaskInteraction; cls branch
+    -> ResidualBlockGN; reg branch -> offset/mask conv (27ch = 18 offset + 9
+    mask) -> DyDCNv2 -> CoordAtt; foreground-prob conv (sigmoid) gates cls
+    logits; reg output scaled by a learnable per-level Scale. All trunk
+    convs are shared across levels (only stems and scales are per-level),
+    exactly as the reference.
+    """
+
+    nc: int = 80
+    ch: tuple = ()
+    strides: tuple = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False, input_h: int | None = None):
+        nl = len(self.ch)
+        hidc = max(self.ch) if self.ch else 512
+        task_ch = hidc // 2
+
+        # shared trunk modules (instantiated once -> weights shared over levels)
+        share1 = ConvGN(task_ch, 3, dtype=self.dtype, name="share_conv0")
+        share2 = ConvGN(task_ch, 3, dtype=self.dtype, name="share_conv1")
+        cls_decomp = TaskDecomposition(task_ch, 1, 16, dtype=self.dtype, name="cls_decomp")
+        reg_decomp = TaskDecomposition(task_ch, 1, 16, dtype=self.dtype, name="reg_decomp")
+        cross_task = CrossTaskInteraction(task_ch, dtype=self.dtype, name="cross_task")
+        rep_block_cls = ResidualBlockGN(task_ch, dtype=self.dtype, name="rep_block_cls")
+        coord_att = CoordAtt(task_ch, dtype=self.dtype, name="coord_attention_reg")
+        dcn = DyDCNv2(task_ch, dtype=self.dtype, name="DyDCNV2")
+
+        offset_dim = 2 * 9
+        cls_prior = -math.log((1 - 0.01) / 0.01)
+
+        # shared output convs (single torch instances applied per level)
+        spatial_offset_conv = nn.Conv(27, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+                                      dtype=self.dtype, name="spatial_conv_offset")
+        cls_prob_conv0 = nn.Conv(task_ch // 2, (1, 1), use_bias=True, dtype=self.dtype,
+                                 name="cls_prob_conv0")
+        cls_prob_conv1 = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+                                 dtype=self.dtype, name="cls_prob_conv1")
+        cv2 = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                      bias_init=nn.initializers.ones, name="cv2")
+        cv3 = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                      bias_init=nn.initializers.constant(cls_prior), name="cv3")
+
+        def spatial_offset(f):
+            return spatial_offset_conv(f)
+
+        def cls_prob(f):
+            return nn.sigmoid(cls_prob_conv1(nn.relu(cls_prob_conv0(f))))
+
+        def reg_out(f):
+            return cv2(f)
+
+        def cls_out(f):
+            return cv3(f)
+
+        outputs = []
+        for i in range(nl):
+            adapted = ConvGN(hidc, 1, dtype=self.dtype, name=f"stem{i}")(xs[i], train)
+            feat = share2(share1(adapted, train), train)
+
+            avg_feat = jnp.mean(feat, axis=(1, 2), keepdims=True)
+            cls_feat = cls_decomp(feat, avg_feat, train)
+            reg_feat = reg_decomp(feat, avg_feat, train)
+            cls_feat, reg_feat = cross_task(cls_feat, reg_feat, train)
+
+            cls_feat_enh = rep_block_cls(cls_feat, train)
+
+            om = spatial_offset(feat)
+            offset = om[..., :offset_dim]
+            mask = nn.sigmoid(om[..., offset_dim:])
+            reg_aligned = dcn(reg_feat, offset, mask, train)
+            reg_enh = coord_att(reg_aligned, train)
+
+            prob = cls_prob(feat)
+
+            scale = self.param(f"scale{i}", nn.initializers.ones, (), jnp.float32)
+            reg_output = reg_out(reg_enh) * scale.astype(feat.dtype)
+            cls_output = cls_out(cls_feat_enh * prob)
+            outputs.append(jnp.concatenate([reg_output, cls_output], axis=-1))
+
+        if train:
+            return outputs
+        strides = (
+            tuple(input_h // f.shape[1] for f in outputs) if input_h is not None else self.strides
+        )
+        y = decode_detections(outputs, strides, self.nc, self.reg_max)
+        return y, outputs

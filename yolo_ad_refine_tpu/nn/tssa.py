@@ -1,0 +1,343 @@
+"""Token-Statistics Self-Attention family + frequency-domain FFN + adapters.
+
+Parity surface (behavior): reference ultralytics/nn/modules/block.py
+- DynamicTanh:1624, AttentionTSSA:1646 (ToST linear attention),
+  TSSAlock_DYT_Mona_EDFFN:1685, C2TSSA_DYT_Mona_EDFFN:1705
+- EDFFN:2376 (8x8-patch rFFT filter, fp32-forced)
+- CrossScaleAttentionTSSA:2417, AdaptiveDynamicTanh:2493,
+  ProgressiveFeatureFusion:2579, ProgressiveTSSA_Fusion:2632,
+  C2PTSSA (=C2ProgressiveTSSA_Fusion):2700
+- Mona/MonaOp: reference ultralytics/nn/modules/mona.py:12-65
+
+TPU notes: all attention here is linear in token count (the fork's strategy
+for small objects); the EDFFN FFT is computed in float32 (matching the
+reference's explicit .float() cast) and the rest runs in the compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolo_ad_refine_tpu.nn.block import C2PSA, adaptive_avg_pool2d
+from yolo_ad_refine_tpu.nn.common import Conv, conv2d
+from yolo_ad_refine_tpu.nn.registry import register
+
+Dtype = Any
+
+
+def gelu_exact(x):
+    """Exact (erf) GELU — torch F.gelu default (flax defaults to tanh approx)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+class DynamicTanh(nn.Module):
+    """Norm-free normalization tanh(alpha*x)*w + b (reference block.py:1624)."""
+
+    alpha_init: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        alpha = self.param("alpha", nn.initializers.constant(self.alpha_init), (1,), jnp.float32)
+        w = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return (jnp.tanh(alpha.astype(x.dtype) * x) * w.astype(x.dtype) + b.astype(x.dtype))
+
+
+class AttentionTSSA(nn.Module):
+    """Token Statistics Self-Attention, O(N) in tokens (reference block.py:1646).
+
+    Faithful to the fork's variant: qkv is a single shared Linear, weights are
+    L2-normalized over the token axis, and Pi is softmaxed over the *head*
+    axis (the fork's nn.Softmax(dim=1) on a (b, h, n) tensor).
+    """
+
+    dim: int
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (b, n, c) tokens
+        b, n, c = x.shape
+        h = self.num_heads
+        d = self.dim // h
+        w = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="qkv")(x)
+        w = w.reshape(b, n, h, d).transpose(0, 2, 1, 3)  # (b, h, n, d)
+
+        temp = self.param("temp", nn.initializers.ones, (h, 1), jnp.float32)
+        w32 = w.astype(jnp.float32)
+        w_normed = w32 / (jnp.linalg.norm(w32, axis=-2, keepdims=True) + 1e-12)
+        w_sq = w_normed**2
+        logits = jnp.sum(w_sq, axis=-1) * temp  # (b, h, n)
+        pi = nn.softmax(logits, axis=1)  # softmax over heads — fork semantics
+        pi_norm = pi / (jnp.sum(pi, axis=-1, keepdims=True) + 1e-8)
+        dots = jnp.einsum("bhn,bhnd->bhd", pi_norm, w32**2)[:, :, None, :]  # (b, h, 1, d)
+        attn = 1.0 / (1.0 + dots)
+        out = -(w32 * pi[..., None]) * attn
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim).astype(x.dtype)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+
+
+class MonaOp(nn.Module):
+    """Multi-kernel depthwise mixer (reference mona.py:12-33)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y1 = conv2d(x, c, 3, p=1, g=c, dtype=self.dtype, name="conv1")
+        y2 = conv2d(x, c, 5, p=2, g=c, dtype=self.dtype, name="conv2")
+        y3 = conv2d(x, c, 7, p=3, g=c, dtype=self.dtype, name="conv3")
+        x = (y1 + y2 + y3) / 3.0 + x
+        return x + conv2d(x, c, 1, dtype=self.dtype, name="projector")
+
+
+class Mona(nn.Module):
+    """Multi-cognitive visual adapter (reference mona.py:36-65)."""
+
+    dtype: Dtype = jnp.float32
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        identity = x
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (c,), jnp.float32)
+        gammax = self.param("gammax", nn.initializers.ones, (c,), jnp.float32)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x) * gamma.astype(x.dtype) + x * gammax.astype(
+            x.dtype
+        )
+        y = conv2d(y, 64, 1, dtype=self.dtype, name="project1")
+        y = MonaOp(dtype=self.dtype, name="adapter_conv")(y, train)
+        y = gelu_exact(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = conv2d(y, c, 1, dtype=self.dtype, name="project2")
+        return identity + y
+
+
+class EDFFN(nn.Module):
+    """Frequency-domain FFN from EVSSM (reference block.py:2376-2415).
+
+    1x1 expand (2x factor, doubled for the gate) -> depthwise 3x3 -> chunked
+    GELU gate -> 1x1 project -> reflect-pad to 8-multiples -> per-8x8-patch
+    rfft2 * learnable real filter -> irfft2 -> crop. FFT runs in float32
+    (reference forces .float()), result cast back to the input dtype.
+    """
+
+    dim: int
+    ffn_expansion_factor: float = 2.0
+    patch_size: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x_dtype = x.dtype
+        hidden = int(self.dim * self.ffn_expansion_factor)
+        y = conv2d(x, hidden * 2, 1, use_bias=False, dtype=self.dtype, name="project_in")
+        y = conv2d(y, hidden * 2, 3, p=1, g=hidden * 2, use_bias=False, dtype=self.dtype, name="dwconv")
+        y1, y2 = jnp.split(y, 2, axis=-1)
+        y = gelu_exact(y1) * y2
+        y = conv2d(y, self.dim, 1, use_bias=False, dtype=self.dtype, name="project_out")
+
+        b, h, w, c = y.shape
+        ps = self.patch_size
+        h_n = (ps - h % ps) % ps
+        w_n = (ps - w % ps) % ps
+        yp = jnp.pad(y, ((0, 0), (0, h_n), (0, w_n), (0, 0)), mode="reflect")
+        hp, wp = h + h_n, w + w_n
+        # (b, gh, ps, gw, ps, c)
+        patches = yp.reshape(b, hp // ps, ps, wp // ps, ps, c)
+        fft_param = self.param(
+            "fft", nn.initializers.ones, (ps, ps // 2 + 1, c), jnp.float32
+        )
+        f = jnp.fft.rfft2(patches.astype(jnp.float32), axes=(2, 4))
+        # f: (b, gh, ps, gw, ps//2+1, c); filter broadcasts over (b, gh, gw)
+        f = f * fft_param[None, None, :, None, :, :]
+        patches = jnp.fft.irfft2(f, s=(ps, ps), axes=(2, 4))
+        yp = patches.reshape(b, hp, wp, c)
+        return yp[:, :h, :w, :].astype(x_dtype)
+
+
+class TSSAlockDyTMonaEDFFN(nn.Module):
+    """PSABlock variant: DyT->TSSA residual->Mona->DyT->EDFFN residual->Mona
+    (reference block.py:1685-1703). Used by C2TSSA_DYT_Mona_EDFFN (697 ablation)."""
+
+    c: int
+    num_heads: int = 4
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        tokens = DynamicTanh(dtype=self.dtype, name="dyt1")(x, train).reshape(b, h * w, c)
+        a = AttentionTSSA(c, self.num_heads, dtype=self.dtype, name="attn")(tokens, train)
+        a = a.reshape(b, h, w, c)
+        x = x + a if self.shortcut else a
+        x = Mona(dtype=self.dtype, name="mona1")(x, train)
+        f = EDFFN(c, 2, dtype=self.dtype, name="ffn")(
+            DynamicTanh(dtype=self.dtype, name="dyt2")(x, train), train
+        )
+        x = x + f if self.shortcut else f
+        return Mona(dtype=self.dtype, name="mona2")(x, train)
+
+
+@register(name="C2TSSA_DYT_Mona_EDFFN")
+class C2TSSADyTMonaEDFFN(C2PSA):
+    """C2PSA wrapper around TSSAlock blocks (reference block.py:1705)."""
+
+    def inner_block(self, c: int, i: int):
+        return TSSAlockDyTMonaEDFFN(c, num_heads=c // 64, dtype=self.dtype, name=f"m{i}")
+
+
+class CrossScaleAttentionTSSA(nn.Module):
+    """TSSA at scales [1,2,4] fused by multi-head attention (reference block.py:2417-2491)."""
+
+    dim: int
+    num_heads: int = 8
+    scales: tuple = (1, 2, 4)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (b, h, w, c) — returns tokens (b, h*w, c) like the reference
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        d = self.dim // nh
+        outs = []
+        for i, scale in enumerate(self.scales):
+            if scale > 1:
+                xs = adaptive_avg_pool2d(x, (h // scale, w // scale))
+                xs = jax.image.resize(xs, (b, h, w, c), method="bilinear")
+                tokens = xs.reshape(b, h * w, c)
+            else:
+                tokens = x.reshape(b, h * w, c)
+            qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype, name=f"qkv{i}")(tokens)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, -1, nh, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+            k = k.reshape(b, -1, nh, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+            v = v.reshape(b, -1, nh, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+            temp = self.param(f"temp{i}", nn.initializers.ones, (nh, 1), jnp.float32)
+            q_normed = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+            pi = nn.softmax(jnp.sum(q_normed**2, axis=-1) * temp, axis=-1)  # (b, nh, n) over tokens
+            dots = jnp.einsum("bhn,bhnd->bhd", pi, k**2)[:, :, None, :]
+            attn = 1.0 / (1.0 + dots)
+            out = -(v * pi[..., None]) * attn
+            out = out.transpose(0, 2, 1, 3).reshape(b, h * w, self.dim).astype(x.dtype)
+            outs.append(out)
+
+        if len(outs) > 1:
+            stacked = jnp.concatenate(outs, axis=1)  # (b, ns*n, c)
+            fused = nn.MultiHeadDotProductAttention(
+                num_heads=nh, qkv_features=self.dim, out_features=self.dim,
+                dtype=self.dtype, name="cross_scale_fusion",
+            )(stacked, stacked)
+            fused = fused.reshape(b, len(outs), h * w, c).mean(axis=1)
+        else:
+            fused = outs[0]
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(fused)
+
+
+class AdaptiveDynamicTanh(nn.Module):
+    """Multi-scale DyT with SE-style importance gating (reference block.py:2493)."""
+
+    num_scales: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        ns = self.num_scales
+        alphas = self.param(
+            "alphas", lambda k: jnp.linspace(0.3, 1.0, ns).astype(jnp.float32), )
+        scale_w = self.param("scale_weights", nn.initializers.constant(1.0 / ns), (ns,), jnp.float32)
+        del scale_w  # present in the reference's state dict but unused in forward
+        weight = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        gap = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = conv2d(gap, c // 4, 1, dtype=self.dtype, name="gate0")
+        g = nn.relu(g)
+        g = conv2d(g, ns, 1, dtype=self.dtype, name="gate1")
+        importance = nn.softmax(g, axis=-1)  # (b, 1, 1, ns)
+
+        out = 0.0
+        for i in range(ns):
+            out = out + jnp.tanh(alphas[i].astype(x.dtype) * x) * importance[..., i : i + 1]
+        return out * weight.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class ProgressiveFeatureFusion(nn.Module):
+    """3-stage depthwise/channel-mix refinement with learned stage weights
+    (reference block.py:2579-2630)."""
+
+    num_stages: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        stage_att = self.param(
+            "stage_attention", nn.initializers.constant(1.0 / self.num_stages),
+            (self.num_stages,), jnp.float32,
+        )
+        outs = []
+        current = x
+        for i in range(self.num_stages):
+            p = conv2d(current, c, 3, p=1, g=c, dtype=self.dtype, name=f"s{i}_conv")
+            p = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             dtype=self.dtype, name=f"s{i}_norm")(p)
+            p = gelu_exact(p)
+            ch_mix = conv2d(p, c, 1, dtype=self.dtype, name=f"s{i}_channel_mix")
+            sp_mix = conv2d(p, c, 7, p=3, g=c, dtype=self.dtype, name=f"s{i}_spatial_mix")
+            out = ch_mix + sp_mix + current
+            outs.append(out)
+            if i < self.num_stages - 1:
+                fused = jnp.concatenate([current, out], axis=-1)
+                current = conv2d(fused, c, 1, dtype=self.dtype, name=f"fusion{i}")
+        final = sum(stage_att[i].astype(x.dtype) * outs[i] for i in range(self.num_stages))
+        return final + x
+
+
+class ProgressiveTSSAFusion(nn.Module):
+    """The C2PTSSA inner block (reference block.py:2632-2698):
+    PFF -> AdaptiveDyT -> CrossScaleTSSA (x learnable 0.1 residual)
+    -> PFF -> AdaptiveDyT -> EDFFN (x learnable 0.1 residual)."""
+
+    c: int
+    num_heads: int = 4
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        identity = x
+        rw1 = self.param("residual_weight1", nn.initializers.constant(0.1), (), jnp.float32)
+        rw2 = self.param("residual_weight2", nn.initializers.constant(0.1), (), jnp.float32)
+
+        x = ProgressiveFeatureFusion(dtype=self.dtype, name="progressive_fusion1")(x, train)
+        y = AdaptiveDynamicTanh(dtype=self.dtype, name="dyt1")(x, train)
+        attn = CrossScaleAttentionTSSA(c, self.num_heads, dtype=self.dtype, name="attn")(y, train)
+        attn = attn.reshape(b, h, w, c)
+        x = identity + attn * rw1.astype(x.dtype) if self.shortcut else attn
+
+        x = ProgressiveFeatureFusion(dtype=self.dtype, name="progressive_fusion2")(x, train)
+        y = AdaptiveDynamicTanh(dtype=self.dtype, name="dyt2")(x, train)
+        f = EDFFN(c, 2, dtype=self.dtype, name="ffn")(y, train)
+        return x + f * rw2.astype(x.dtype) if self.shortcut else f
+
+
+@register(name="C2PTSSA", aliases=("C2ProgressiveTSSA_Fusion",))
+class C2PTSSA(C2PSA):
+    """Flagship layer-10 module (reference block.py:2700-2710)."""
+
+    def inner_block(self, c: int, i: int):
+        return ProgressiveTSSAFusion(c, num_heads=max(1, c // 64), dtype=self.dtype, name=f"m{i}")
