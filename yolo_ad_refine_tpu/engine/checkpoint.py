@@ -1,0 +1,92 @@
+"""Checkpoint save/load.
+
+Parity surface: reference engine/trainer.py:507-541 (save_model: ckpt dict
+with epoch, best_fitness, EMA-as-model weights, optimizer state, train_args,
+date/version; last.pt/best.pt) and tasks.py:718-877 (safe loading). The
+torch-pickle single file becomes a directory: variables as flax msgpack +
+metadata yaml — no unpickling shims needed, and weights are framework-pure
+arrays (the reference pickles whole nn.Modules and needs remapping hacks).
+
+Checkpoints store the EMA weights as the model (reference semantics: best.pt
+contains the EMA), plus raw params for exact resume.
+"""
+
+from __future__ import annotations
+
+import datetime
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from yolo_ad_refine_tpu import __version__
+from yolo_ad_refine_tpu.utils import LOGGER, yaml_load, yaml_save
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str | Path, *, model, state=None, epoch: int = -1,
+                    best_fitness: float = 0.0, train_args: dict | None = None,
+                    include_optimizer: bool = False, names: dict | None = None) -> Path:
+    """Write a checkpoint directory: weights.msgpack (+train.msgpack) + meta.yaml."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+
+    if state is not None:
+        model_vars = {"params": state.ema_params, "batch_stats": state.ema_batch_stats}
+        raw_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    else:
+        model_vars = model.variables
+        raw_vars = None
+
+    (path / "weights.msgpack").write_bytes(serialization.msgpack_serialize(_to_host(model_vars)))
+    if raw_vars is not None:
+        train_blob = {"variables": _to_host(raw_vars)}
+        if include_optimizer and state is not None:
+            train_blob["ema_updates"] = np.asarray(state.ema_updates)
+            train_blob["step"] = np.asarray(state.step)
+        (path / "train.msgpack").write_bytes(serialization.msgpack_serialize(train_blob))
+
+    yaml_save(path / "meta.yaml", {
+        "model_yaml": model.yaml,
+        "nc": model.nc,
+        "names": names or getattr(model, "names", None),
+        "epoch": epoch,
+        "best_fitness": float(best_fitness),
+        "train_args": train_args or {},
+        "date": datetime.datetime.now().isoformat(),
+        "version": __version__,
+    })
+    return path
+
+
+def load_checkpoint(path: str | Path, dtype=jnp.float32):
+    """Rebuild a DetectionModel from a checkpoint directory."""
+    from yolo_ad_refine_tpu.models.model import DetectionModel
+
+    path = Path(path)
+    if path.is_file():  # allow pointing at meta.yaml or weights.msgpack
+        path = path.parent
+    meta = yaml_load(path / "meta.yaml")
+    model = DetectionModel(meta["model_yaml"], nc=meta.get("nc"), dtype=dtype)
+    blob = (path / "weights.msgpack").read_bytes()
+    # template init for deserialization structure
+    template = jax.eval_shape(
+        lambda: model.graph.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3), dtype), train=False)
+    )
+    host_template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    variables = serialization.msgpack_restore(blob)
+    # msgpack_restore returns plain dicts; adopt directly (structure matches)
+    del host_template
+    model.variables = jax.tree.map(jnp.asarray, variables)
+    model.probe_strides()
+    model.ckpt_meta = meta
+    model.names = meta.get("names") or {i: f"class{i}" for i in range(model.nc)}
+    LOGGER.info(f"loaded checkpoint {path} (epoch {meta.get('epoch')}, "
+                f"fitness {meta.get('best_fitness'):.4f})")
+    return model

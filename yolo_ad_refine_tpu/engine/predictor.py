@@ -1,0 +1,123 @@
+"""Detection predictor: source loading -> letterbox -> jit forward+NMS -> Results.
+
+Parity surface: reference engine/predictor.py:63-403 (BasePredictor
+stream_inference: setup_source -> preprocess (LetterBox, BGR->RGB, /255) ->
+forward -> postprocess) + models/yolo/detect/predict.py:23 (NMS +
+scale_boxes -> Results). Sources supported: image path, directory, glob list,
+numpy array(s). Video/stream loaders land with the IO layer.
+
+TPU-first: inputs are letterboxed to one static square size and batched so a
+single compiled program serves the whole stream (the reference recompiles
+torch graphs per shape; XLA can't).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolo_ad_refine_tpu.data.augment import letterbox
+from yolo_ad_refine_tpu.data.dataset import IMG_FORMATS
+from yolo_ad_refine_tpu.engine.results import Results
+from yolo_ad_refine_tpu.ops.boxes import scale_boxes
+from yolo_ad_refine_tpu.ops.nms import non_max_suppression
+from yolo_ad_refine_tpu.utils import LOGGER, increment_path
+
+
+def load_sources(source) -> list[tuple[str, np.ndarray]]:
+    """Resolve source (path/dir/list/np array) to [(name, BGR image)]."""
+    import cv2
+
+    if isinstance(source, np.ndarray):
+        return [("image0.jpg", source)]
+    if isinstance(source, (list, tuple)):
+        out = []
+        for i, s in enumerate(source):
+            out.extend(load_sources(s) if not isinstance(s, np.ndarray) else [(f"image{i}.jpg", s)])
+        return out
+    p = Path(source)
+    if p.is_dir():
+        files = [f for f in sorted(p.rglob("*")) if f.suffix[1:].lower() in IMG_FORMATS]
+    elif p.is_file():
+        files = [p]
+    else:
+        raise FileNotFoundError(f"source not found: {source}")
+    out = []
+    for f in files:
+        im = cv2.imread(str(f))
+        if im is None:
+            LOGGER.warning(f"skipping unreadable image {f}")
+            continue
+        out.append((str(f), im))
+    return out
+
+
+class DetectionPredictor:
+    def __init__(self, overrides: dict | None = None):
+        self.args = dict(overrides or {})
+
+    def __call__(self, source=None, model=None, names: dict | None = None):
+        args = self.args
+        imgsz = int(args.get("imgsz", 640))
+        conf = float(args.get("conf") or 0.25)
+        iou = float(args.get("iou", 0.7))
+        max_det = int(args.get("max_det", 300))
+        agnostic = bool(args.get("agnostic_nms", False))
+        batch_size = int(args.get("batch", 16))
+        save = bool(args.get("save", False))
+        names = names or getattr(model, "names", None) or {i: f"class{i}" for i in range(model.nc)}
+        variables = args.get("variables") or model.variables
+
+        @jax.jit
+        def forward_nms(img):
+            x = img.astype(model.dtype) / 255.0
+            y, _ = model.graph.apply(variables, x, train=False)
+            return non_max_suppression(
+                y, conf_thres=conf, iou_thres=iou, max_det=max_det,
+                agnostic=agnostic, nc=model.nc,
+            )
+
+        items = load_sources(source)
+        save_dir = None
+        if save:
+            save_dir = increment_path(Path(args.get("project") or "runs") / "predict", mkdir=True)
+
+        results: list[Results] = []
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            imgs, metas = [], []
+            for name, im0 in chunk:
+                im, ratio, pad = letterbox(im0, imgsz, scaleup=True)
+                imgs.append(im[..., ::-1])  # BGR -> RGB
+                metas.append((name, im0, ratio, pad))
+            batch = np.ascontiguousarray(np.stack(imgs))
+            # pad partial batches to the compiled batch size
+            n_real = len(chunk)
+            if n_real < batch_size:
+                batch = np.concatenate(
+                    [batch, np.zeros((batch_size - n_real, *batch.shape[1:]), batch.dtype)]
+                )
+            t0 = time.perf_counter()
+            det, cnt = jax.device_get(forward_nms(jnp.asarray(batch)))
+            dt = (time.perf_counter() - t0) / max(n_real, 1) * 1000
+
+            for j, (name, im0, ratio, pad) in enumerate(metas):
+                n = int(cnt[j])
+                d = np.array(det[j, :n])  # writable copy (device arrays are read-only views)
+                if n:
+                    d[:, :4] = np.asarray(
+                        scale_boxes((imgsz, imgsz), jnp.asarray(d[:, :4]), im0.shape[:2],
+                                    ratio_pad=(ratio, pad))
+                    )
+                r = Results(im0, name, names, d, speed={"inference": dt})
+                results.append(r)
+                LOGGER.info(f"{name}: {r.verbose()} ({dt:.1f} ms/img)")
+                if save_dir is not None:
+                    r.save(save_dir / Path(name).name)
+        return results

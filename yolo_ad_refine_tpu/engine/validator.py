@@ -1,0 +1,161 @@
+"""Detection validator: NMS -> IoU matching -> mAP.
+
+Parity surface: reference engine/validator.py:106-219 (BaseValidator loop:
+preprocess -> forward -> [train-val: loss accumulate] -> NMS postprocess ->
+update_metrics) and models/yolo/detect/val.py:17-338 (DetectionValidator:
+_prepare_batch/_prepare_pred native-space rescale, _process_batch 10-IoU TP
+matrix, get_stats -> DetMetrics). The head eval contract is the reference's:
+forward returns (decoded, feats); NMS consumes decoded, loss consumes feats
+(the WENTI-documented pitfall).
+
+TPU-first: the forward+NMS run as one jitted program with fixed output
+shapes; only the (max_det, 6) detections + counts come back to host, where
+matching/AP run in numpy exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolo_ad_refine_tpu.data import DataLoader, YOLODataset, check_det_dataset
+from yolo_ad_refine_tpu.ops.boxes import scale_boxes
+from yolo_ad_refine_tpu.ops.nms import non_max_suppression
+from yolo_ad_refine_tpu.utils import LOGGER, Profile
+from yolo_ad_refine_tpu.utils.metrics import ConfusionMatrix, DetMetrics, match_predictions
+from yolo_ad_refine_tpu.utils.metrics_np import box_iou_np
+
+
+class DetectionValidator:
+    """Runs a model over a val split and computes detection metrics."""
+
+    def __init__(self, args: dict | None = None, dataloader: DataLoader | None = None):
+        self.args = dict(args or {})
+        self.dataloader = dataloader
+        self.training = False
+
+    # -- setup ----------------------------------------------------------------
+    def _build_dataloader(self, data, imgsz, batch):
+        info = check_det_dataset(data)
+        split = self.args.get("split", "val")
+        path = info.get(split) or info.get("val") or info.get("train")
+        ds = YOLODataset(path, imgsz=imgsz, augment=False, nc=info["nc"],
+                         max_boxes=int(self.args.get("max_boxes", 128)))
+        self.names = info["names"]
+        return DataLoader(ds, batch_size=batch, shuffle=False)
+
+    # -- main -----------------------------------------------------------------
+    def __call__(self, model=None, variables=None, dataloader=None, loss_fn=None):
+        """model: DetectionModel; variables overrides model.variables (e.g. EMA)."""
+        args = self.args
+        imgsz = int(args.get("imgsz", 640))
+        batch_size = int(args.get("batch", 16))
+        conf = args.get("conf") or 0.001
+        iou = float(args.get("iou", 0.7))
+        max_det = int(args.get("max_det", 300))
+        nc = model.nc
+
+        dataloader = dataloader or self.dataloader
+        if dataloader is None:
+            dataloader = self._build_dataloader(args["data"], imgsz, batch_size)
+        names = getattr(self, "names", None) or {i: f"class{i}" for i in range(nc)}
+
+        variables = variables if variables is not None else model.variables
+
+        @partial(jax.jit, static_argnames=())
+        def forward_nms(vars_, img):
+            img = img.astype(model.dtype) / 255.0
+            y, feats = model.graph.apply(vars_, img, train=False)
+            det, cnt = non_max_suppression(
+                y, conf_thres=float(conf), iou_thres=iou, max_det=max_det,
+                multi_label=True, nc=nc,
+            )
+            return det, cnt, feats
+
+        metrics = DetMetrics(names)
+        confusion = ConfusionMatrix(nc)
+        loss_sum = np.zeros(3)
+        n_batches = 0
+        seen = 0
+        profs = {k: Profile() for k in ("preprocess", "inference", "postprocess")}
+
+        for batch in dataloader:
+            with profs["preprocess"]:
+                img = jnp.asarray(batch["img"])
+            with profs["inference"]:
+                det, cnt, feats = forward_nms(variables, img)
+                if loss_fn is not None:
+                    out = loss_fn(feats, jnp.asarray(batch["cls"]), jnp.asarray(batch["bboxes"]),
+                                  jnp.asarray(batch["mask"]))
+                    loss_sum += np.asarray(out.components)
+                    n_batches += 1
+                det = np.asarray(jax.device_get(det))
+                cnt = np.asarray(jax.device_get(cnt))
+            with profs["postprocess"]:
+                self._update_metrics(det, cnt, batch, metrics, confusion, imgsz)
+            seen += len(batch["im_file"])
+
+        results = metrics.process()
+        self.metrics = metrics
+        self.confusion_matrix = confusion
+        if n_batches:
+            results["val/box_loss"] = float(loss_sum[0] / n_batches)
+            results["val/cls_loss"] = float(loss_sum[1] / n_batches)
+            results["val/dfl_loss"] = float(loss_sum[2] / n_batches)
+        total_ms = sum(p.t for p in profs.values()) / max(seen, 1) * 1000
+        results["speed_ms_per_image"] = total_ms
+        results["inference_ms_per_image"] = profs["inference"].t / max(seen, 1) * 1000
+        self._print_results(metrics, seen, names)
+        return results
+
+    # -- per-batch metric update ----------------------------------------------
+    def _update_metrics(self, det, cnt, batch, metrics: DetMetrics,
+                        confusion: ConfusionMatrix, imgsz: int):
+        for i in range(det.shape[0]):
+            n = int(cnt[i])
+            d = det[i, :n].copy()  # (n, 6) in letterboxed coords
+            ori_shape = batch["ori_shape"][i]
+            ratio_pad = batch["ratio_pad"][i]
+            mask = batch["mask"][i, :, 0] > 0
+            gt_boxes = batch["bboxes"][i][mask].copy()  # letterboxed px
+            gt_cls = batch["cls"][i][mask, 0]
+
+            # rescale both to native space (reference _prepare_batch/_prepare_pred)
+            if n:
+                d[:, :4] = np.asarray(
+                    scale_boxes((imgsz, imgsz), jnp.asarray(d[:, :4]), ori_shape,
+                                ratio_pad=ratio_pad)
+                )
+            if len(gt_boxes):
+                gt_boxes = np.asarray(
+                    scale_boxes((imgsz, imgsz), jnp.asarray(gt_boxes), ori_shape,
+                                ratio_pad=ratio_pad)
+                )
+
+            if n == 0:
+                if len(gt_cls):
+                    metrics.update_stats(
+                        np.zeros((0, 10), bool), np.zeros(0), np.zeros(0), gt_cls
+                    )
+                    confusion.process_batch(None, gt_boxes, gt_cls)
+                continue
+            if len(gt_cls):
+                iou = box_iou_np(gt_boxes, d[:, :4])
+                tp = match_predictions(d[:, 5], gt_cls, iou)
+            else:
+                tp = np.zeros((n, 10), bool)
+            metrics.update_stats(tp, d[:, 4], d[:, 5], gt_cls)
+            confusion.process_batch(d, gt_boxes, gt_cls)
+
+    def _print_results(self, metrics: DetMetrics, seen: int, names: dict):
+        r = metrics.results_dict
+        LOGGER.info(
+            f"{'all':>10}{seen:>8} P {r['metrics/precision(B)']:.3f} "
+            f"R {r['metrics/recall(B)']:.3f} mAP50 {r['metrics/mAP50(B)']:.3f} "
+            f"mAP50-95 {r['metrics/mAP50-95(B)']:.3f}"
+        )

@@ -1,0 +1,106 @@
+"""Jit-compiled training step and train state.
+
+Replaces the reference's eager batch loop body (engine/trainer.py:367-427:
+autocast forward -> scaled backward -> accumulate -> clip -> step -> EMA)
+with a single XLA program: forward+loss (bf16 compute / f32 math), grads,
+optax update (incl. clip + accumulation via optax.MultiSteps upstream), EMA
+of params and BN stats. DDP's implicit gradient allreduce becomes sharding:
+under a Mesh the batch is sharded on the 'data' axis and XLA inserts the
+psum during autodiff (see parallel/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from yolo_ad_refine_tpu.train.loss import DetectionLoss
+from yolo_ad_refine_tpu.train.optim import ema_update
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    ema_batch_stats: Any
+    step: jnp.ndarray          # optimizer-step counter for schedules
+    ema_updates: jnp.ndarray   # EMA update counter (reference ModelEMA.updates)
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        # EMA must be a distinct buffer: astype(f32) on f32 aliases, and an
+        # aliased param+EMA pair breaks XLA donation (same buffer donated twice)
+        copy_f32 = lambda x: jnp.array(x, dtype=jnp.float32, copy=True)  # noqa: E731
+        return cls(
+            params=params,
+            batch_stats=stats,
+            opt_state=tx.init(params),
+            ema_params=jax.tree.map(copy_f32, params),
+            ema_batch_stats=jax.tree.map(copy_f32, stats),
+            step=jnp.zeros((), jnp.int32),
+            ema_updates=jnp.zeros((), jnp.float32),
+        )
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    @property
+    def ema_variables(self):
+        return {"params": self.ema_params, "batch_stats": self.ema_batch_stats}
+
+
+def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999,
+                    ema_tau: float = 2000.0):
+    """Build the pure train_step(state, batch, rng) -> (state, metrics).
+
+    batch = {'img': (B,H,W,3) float in [0,1] or uint8, 'cls': (B,N,1),
+             'bboxes': (B,N,4) xyxy px, 'mask': (B,N,1)}.
+    """
+
+    def loss_and_updates(params, batch_stats, batch, rng):
+        img = batch["img"]
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        feats, mutated = graph.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+        )
+        out = loss_fn(feats, batch["cls"], batch["bboxes"], batch["mask"])
+        return out.total, (out.components, mutated.get("batch_stats", batch_stats))
+
+    def train_step(state: TrainState, batch, rng):
+        (total, (components, new_stats)), grads = jax.value_and_grad(
+            loss_and_updates, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), state.params, updates)
+
+        new_ema_updates = state.ema_updates + 1.0
+        new_ema_params = ema_update(state.ema_params, new_params, new_ema_updates,
+                                    ema_decay, ema_tau)
+        new_ema_stats = ema_update(state.ema_batch_stats, new_stats, new_ema_updates,
+                                   ema_decay, ema_tau)
+
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            ema_params=new_ema_params,
+            ema_batch_stats=new_ema_stats,
+            step=state.step + 1,
+            ema_updates=new_ema_updates,
+        )
+        metrics = {"loss": total, "box_loss": components[0], "cls_loss": components[1],
+                   "dfl_loss": components[2]}
+        return new_state, metrics
+
+    return train_step

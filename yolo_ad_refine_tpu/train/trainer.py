@@ -1,0 +1,227 @@
+"""Detection trainer: the full train loop.
+
+Parity surface: reference engine/trainer.py:58-813 (BaseTrainer) +
+models/yolo/detect/train.py:19-143 (DetectionTrainer). Capabilities carried
+over: cfg merge from default.yaml + overrides, warmup lr/momentum schedules,
+gradient accumulation to nbs=64, grad clip 10.0, EMA validation and EMA
+checkpoints, fitness-driven best.pt (fork-flipped 0.9*mAP50 + 0.1*mAP),
+EarlyStopping(patience), close_mosaic, results.csv, resume.
+
+TPU-first: one jitted train step (forward+loss+grad+update+EMA) runs under a
+data mesh — the whole DDP machinery (subprocess relaunch, NCCL groups,
+DistributedSampler, world-size loss scaling, rank gating) is replaced by
+sharding the batch across jax.devices() (see parallel/).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolo_ad_refine_tpu.data import DataLoader, YOLODataset, check_det_dataset
+from yolo_ad_refine_tpu.engine.checkpoint import save_checkpoint
+from yolo_ad_refine_tpu.engine.validator import DetectionValidator
+from yolo_ad_refine_tpu.models.model import DetectionModel
+from yolo_ad_refine_tpu.parallel import make_mesh_for_batch, make_parallel_train_step, shard_batch
+from yolo_ad_refine_tpu.train.loss import DetectionLoss
+from yolo_ad_refine_tpu.train.optim import build_optimizer
+from yolo_ad_refine_tpu.train.step import TrainState, make_train_step
+from yolo_ad_refine_tpu.utils import DEFAULT_CFG_PATH, LOGGER, colorstr, increment_path, yaml_load, yaml_save
+
+
+def get_cfg(overrides: dict | None = None) -> dict:
+    """default.yaml + overrides merge (reference cfg/__init__.py:225 get_cfg)."""
+    cfg = yaml_load(DEFAULT_CFG_PATH)
+    for k, v in (overrides or {}).items():
+        if k not in cfg and k not in ("model", "data", "mode", "task", "resume"):
+            LOGGER.warning(f"ignoring unknown cfg key: {k}={v}")
+        cfg[k] = v
+    return cfg
+
+
+class EarlyStopping:
+    """Stop when fitness stalls (reference torch_utils.py:716-758)."""
+
+    def __init__(self, patience: int = 100):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fitness
+        stop = (epoch - self.best_epoch) >= self.patience
+        if stop:
+            LOGGER.info(f"EarlyStopping: no improvement in last {self.patience} epochs.")
+        return stop
+
+
+class DetectionTrainer:
+    """End-to-end detection training."""
+
+    def __init__(self, overrides: dict | None = None, model: DetectionModel | None = None):
+        self.args = get_cfg(overrides)
+        self.model = model
+        self.epochs = int(self.args["epochs"])
+        self.batch_size = int(self.args["batch"])
+        self.imgsz = int(self.args["imgsz"])
+        name = self.args.get("name") or "train"
+        self.save_dir = increment_path(Path(self.args.get("project") or "runs") / name,
+                                       exist_ok=bool(self.args.get("exist_ok", False)), mkdir=True)
+        self.wdir = self.save_dir / "weights"
+        self.wdir.mkdir(parents=True, exist_ok=True)
+        self.best_fitness = 0.0
+        self.start_epoch = 0
+        self.csv = self.save_dir / "results.csv"
+
+    # -- setup ------------------------------------------------------------
+    def _setup(self):
+        args = self.args
+        data = check_det_dataset(args["data"])
+        self.data = data
+        hyp = {k: args[k] for k in (
+            "hsv_h", "hsv_s", "hsv_v", "degrees", "translate", "scale", "shear",
+            "perspective", "flipud", "fliplr", "mosaic", "mixup", "copy_paste")}
+        max_boxes = int(args.get("max_boxes", 128))
+        train_ds = YOLODataset(data["train"], imgsz=self.imgsz, augment=True, hyp=hyp,
+                               nc=data["nc"], max_boxes=max_boxes,
+                               fraction=float(args.get("fraction", 1.0)))
+        self.train_loader = DataLoader(train_ds, batch_size=self.batch_size, shuffle=True,
+                                       seed=int(args.get("seed", 0)), drop_last=True)
+        self.nb = max(len(self.train_loader), 1)
+
+        if self.model is None:
+            dtype = jnp.bfloat16 if args.get("amp", True) and jax.devices()[0].platform != "cpu" \
+                else jnp.float32
+            self.model = DetectionModel(args["model"], nc=data["nc"], dtype=dtype)
+            self.model.init(jax.random.PRNGKey(int(args.get("seed", 0))), imgsz=self.imgsz)
+        elif self.model.nc != data["nc"]:
+            LOGGER.info(f"rebuilding model head for nc={data['nc']}")
+            self.model = DetectionModel(self.model.yaml, nc=data["nc"], dtype=self.model.dtype)
+            self.model.init(jax.random.PRNGKey(int(args.get("seed", 0))), imgsz=self.imgsz)
+
+        self.loss_fn = DetectionLoss(
+            nc=data["nc"], strides=self.model.strides,
+            box_gain=float(args["box"]), cls_gain=float(args["cls"]), dfl_gain=float(args["dfl"]),
+        )
+        tx, accumulate = build_optimizer(
+            self.model.variables["params"],
+            optimizer=args.get("optimizer", "auto"), lr0=float(args["lr0"]),
+            lrf=float(args["lrf"]), momentum=float(args["momentum"]),
+            weight_decay=float(args["weight_decay"]), epochs=self.epochs, nb=self.nb,
+            batch=self.batch_size, nbs=int(args.get("nbs", 64)),
+            warmup_epochs=float(args.get("warmup_epochs", 3.0)),
+            warmup_momentum=float(args.get("warmup_momentum", 0.8)),
+            warmup_bias_lr=float(args.get("warmup_bias_lr", 0.1)),
+            cos_lr=bool(args.get("cos_lr", False)), nc=data["nc"],
+        )
+        if accumulate > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+        self.tx = tx
+        self.state = TrainState.create(self.model.variables, tx)
+
+        self.mesh = make_mesh_for_batch(self.batch_size)
+        step = make_train_step(self.model.graph, self.loss_fn, tx)
+        self.train_step = make_parallel_train_step(step, self.mesh)
+
+        self.validator = DetectionValidator(args={
+            **{k: args[k] for k in ("imgsz", "iou", "max_det", "max_boxes")},
+            "batch": self.batch_size, "conf": 0.001, "split": args.get("split", "val"),
+        })
+        val_path = data.get(args.get("split", "val")) or data["train"]
+        val_ds = YOLODataset(val_path, imgsz=self.imgsz, augment=False, nc=data["nc"],
+                             max_boxes=max_boxes)
+        self.val_loader = DataLoader(val_ds, batch_size=self.batch_size, shuffle=False)
+        self.validator.names = data["names"]
+        self.stopper = EarlyStopping(int(args.get("patience", 100)))
+        yaml_save(self.save_dir / "args.yaml", self.args)
+
+    # -- loop ----------------------------------------------------------------
+    def train(self):
+        self._setup()
+        args = self.args
+        LOGGER.info(
+            f"{colorstr('trainer:')} {len(self.train_loader.dataset)} train imgs, "
+            f"{len(self.val_loader.dataset)} val imgs, {self.epochs} epochs, "
+            f"batch {self.batch_size} on {len(jax.devices())} device(s)"
+        )
+        close_mosaic = int(args.get("close_mosaic", 10))
+        rng = jax.random.PRNGKey(int(args.get("seed", 0)))
+        t_start = time.time()
+        final_epoch = self.epochs - 1
+
+        for epoch in range(self.start_epoch, self.epochs):
+            if close_mosaic and epoch == self.epochs - close_mosaic:
+                LOGGER.info("Closing dataloader mosaic")
+                self.train_loader.close_mosaic()
+            self.train_loader.set_epoch(epoch)
+            epoch_metrics = []  # device scalars; fetched once per epoch (no per-step sync)
+            with self.mesh:
+                for batch in self.train_loader:
+                    rng, step_rng = jax.random.split(rng)
+                    device_batch = shard_batch(
+                        {k: batch[k] for k in ("img", "cls", "bboxes", "mask")}, self.mesh
+                    )
+                    self.state, metrics = self.train_step(self.state, device_batch, step_rng)
+                    epoch_metrics.append(
+                        (metrics["box_loss"], metrics["cls_loss"], metrics["dfl_loss"])
+                    )
+            mloss = np.asarray(jax.device_get(epoch_metrics)).mean(axis=0)
+
+            # EMA validation (reference trainer.py:594-604)
+            results = {}
+            fitness = 0.0
+            if args.get("val", True) or epoch == final_epoch:
+                results = self.validator(
+                    model=self.model,
+                    variables=jax.tree.map(lambda x: x, self.state.ema_variables),
+                    dataloader=self.val_loader, loss_fn=self.loss_fn,
+                )
+                fitness = results.get("fitness", 0.0)
+            if fitness >= self.best_fitness:
+                self.best_fitness = fitness
+
+            self._log_epoch(epoch, mloss, results, time.time() - t_start)
+            self._save_ckpts(epoch, fitness)
+            if self.stopper(epoch, fitness):
+                break
+
+        LOGGER.info(f"training complete in {(time.time() - t_start) / 3600:.3f} h; "
+                    f"best fitness {self.best_fitness:.4f}")
+        return {"best_fitness": self.best_fitness, "save_dir": str(self.save_dir), **results}
+
+    # -- logging / ckpt ---------------------------------------------------
+    def _log_epoch(self, epoch, mloss, results, elapsed):
+        keys = ["epoch", "time", "train/box_loss", "train/cls_loss", "train/dfl_loss",
+                "metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)",
+                "metrics/mAP50-95(B)", "val/box_loss", "val/cls_loss", "val/dfl_loss"]
+        vals = [epoch, elapsed, *[float(x) for x in mloss],
+                *[results.get(k, 0.0) for k in keys[5:]]]
+        header = not self.csv.exists()
+        with open(self.csv, "a") as f:
+            if header:
+                f.write(",".join(keys) + "\n")
+            f.write(",".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in vals) + "\n")
+        LOGGER.info(
+            f"epoch {epoch + 1}/{self.epochs} box {mloss[0]:.3f} cls {mloss[1]:.3f} "
+            f"dfl {mloss[2]:.3f} mAP50 {results.get('metrics/mAP50(B)', 0.0):.4f} "
+            f"fitness {results.get('fitness', 0.0):.4f}"
+        )
+
+    def _save_ckpts(self, epoch, fitness):
+        if not self.args.get("save", True):
+            return
+        save_checkpoint(self.wdir / "last", model=self.model, state=self.state, epoch=epoch,
+                        best_fitness=self.best_fitness, train_args=self.args,
+                        include_optimizer=True, names=self.data["names"])
+        if fitness >= self.best_fitness:
+            save_checkpoint(self.wdir / "best", model=self.model, state=self.state, epoch=epoch,
+                            best_fitness=self.best_fitness, train_args=self.args,
+                            names=self.data["names"])
