@@ -1,0 +1,103 @@
+"""Parameter-count parity vs the torch reference (mmcv/torchvision/timm stubbed).
+
+The reference counts 16 more parameters per model: its DFL decode is a frozen
+(requires_grad=False) 1x1 conv holding arange(16) (block.py:63-83); ours is a
+functional softmax-expectation with no parameters.
+"""
+
+from pathlib import Path
+
+import pytest
+
+REF = Path("/root/reference")
+
+DFL_FROZEN_PARAMS = 16
+
+
+def _build_torch_reference(cfg_path: str):
+    import importlib.metadata as md
+    import sys
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    if "ultralytics" not in sys.modules:
+        _orig = md.version
+        md.version = lambda n: "0.20.0" if n == "torchvision" else _orig(n)
+
+        def stub(name, **attrs):
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+            return m
+
+        tv = stub("torchvision", __version__="0.20.0")
+        tv.ops = stub("torchvision.ops", nms=lambda *a, **k: torch.zeros(0, dtype=torch.long))
+
+        class ModulatedDeformConv2d(nn.Module):
+            def __init__(self, in_c, out_c, k, stride=1, padding=0, bias=True):
+                super().__init__()
+                self.weight = nn.Parameter(torch.zeros(out_c, in_c, k, k))
+                if bias:
+                    self.bias = nn.Parameter(torch.zeros(out_c))
+
+            def forward(self, x, offset, mask):
+                return nn.functional.conv2d(x, self.weight, getattr(self, "bias", None), padding=1)
+
+        stub("mmcv")
+        stub("mmcv.ops", ModulatedDeformConv2d=ModulatedDeformConv2d)
+        stub("mmcv.cnn", build_norm_layer=lambda cfg, ch: ("gn", nn.GroupNorm(16, ch)))
+
+        class DropPath(nn.Module):
+            def __init__(self, p=0.0):
+                super().__init__()
+
+            def forward(self, x):
+                return x
+
+        stub("timm")
+        stub("timm.models")
+        stub("timm.models.layers", DropPath=DropPath, trunc_normal_=lambda t, std=0.02: t)
+
+        class MemoryEfficientSwish(nn.SiLU):
+            pass
+
+        stub("efficientnet_pytorch")
+        stub("efficientnet_pytorch.model", MemoryEfficientSwish=MemoryEfficientSwish)
+        sys.path.insert(0, str(REF))
+
+    from ultralytics.nn.tasks import DetectionModel as TorchDetectionModel
+
+    return TorchDetectionModel(cfg_path, verbose=False)
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+@pytest.mark.parametrize("cfg", [
+    "ultralytics/cfg/models/11/yolo11.yaml",
+    "z-yaml/yolo11-701-YOLO-AD-Refine.yaml",
+    "z-yaml/yolo11-697-newfpn+mona+AYHead+mlca3.yaml",
+    "z-yaml/yolo11-newfpn.yaml",
+    "z-yaml/yolo11-AYHead.yaml",
+])
+def test_param_count_parity(cfg):
+    from yolo_ad_refine_tpu.models.model import DetectionModel
+    import jax
+
+    ref_model = _build_torch_reference(str(REF / cfg))
+    ref_n = sum(p.numel() for p in ref_model.parameters())
+    n_dfl_frozen = sum(
+        p.numel() for n, p in ref_model.named_parameters() if not p.requires_grad
+    )
+
+    ours = DetectionModel(str(REF / cfg))
+    var_shapes = jax.eval_shape(
+        lambda: ours.graph.init(jax.random.PRNGKey(0),
+                                __import__("jax.numpy", fromlist=["zeros"]).zeros((1, 256, 256, 3)),
+                                train=False)
+    )
+    our_n = sum(int(__import__("numpy").prod(x.shape)) for x in jax.tree.leaves(var_shapes["params"]))
+    assert our_n == ref_n - n_dfl_frozen, (
+        f"{cfg}: ours {our_n} vs reference {ref_n} (frozen {n_dfl_frozen})"
+    )
