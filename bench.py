@@ -36,12 +36,18 @@ def main():
     from yolo_ad_refine_tpu.models.model import build_detection_model
     from yolo_ad_refine_tpu.utils import ROOT
 
+    import sys
+
+    t_init = time.perf_counter()
+    # init at 256 (params are shape-independent) to avoid a second giant
+    # 640px compile just for initialization
     model = build_detection_model(
         str(ROOT / "cfg" / "models" / "yolo11-701-YOLO-AD-Refine.yaml"),
         dtype=jnp.bfloat16,
-        imgsz=IMGSZ,
+        imgsz=256,
     )
     variables = model.variables
+    print(f"init done in {time.perf_counter() - t_init:.1f}s", file=sys.stderr)
 
     @jax.jit
     def forward(x):
@@ -52,8 +58,10 @@ def main():
         np.random.default_rng(0).random((BATCH, IMGSZ, IMGSZ, 3), dtype=np.float32),
         dtype=jnp.bfloat16,
     )
+    t_compile = time.perf_counter()
     for _ in range(WARMUP):
         jax.block_until_ready(forward(x))
+    print(f"compile+warmup done in {time.perf_counter() - t_compile:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         y = forward(x)

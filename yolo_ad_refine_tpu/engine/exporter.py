@@ -1,0 +1,178 @@
+"""Model export to deployable formats.
+
+Parity surface: reference engine/exporter.py:145-1205 (13 formats). The
+TPU-relevant subset implemented natively:
+
+| format      | produces                         | loader               |
+|-------------|----------------------------------|----------------------|
+| checkpoint  | weights.msgpack + meta.yaml dir  | engine.checkpoint    |
+| stablehlo   | serialized StableHLO (jax.export)| jax.export.deserialize |
+| saved_model | TF SavedModel (via jax2tf)       | tf.saved_model.load  |
+| tflite      | .tflite flatbuffer               | tf.lite.Interpreter  |
+
+The exported callable is the eval forward: uint8/float NHWC image batch ->
+(B, N, 4+nc) decoded predictions (NMS stays outside, as in the reference's
+non-NMS exports). TensorRT/CoreML/ncnn/paddle are CUDA/mobile-ecosystem
+formats with no TPU counterpart; ONNX needs the onnx package (not in this
+image) — all raise a clear UnsupportedFormat error listing alternatives.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolo_ad_refine_tpu.utils import LOGGER
+
+FORMATS = ("checkpoint", "stablehlo", "saved_model", "tflite")
+UNSUPPORTED = {
+    "onnx": "onnx package not available in this environment",
+    "engine": "TensorRT is CUDA-only; use stablehlo/saved_model on TPU",
+    "coreml": "CoreML is Apple-mobile; use tflite",
+    "ncnn": "ncnn is mobile-CPU; use tflite",
+    "paddle": "paddle not available; use saved_model",
+    "torchscript": "torch-free framework; use stablehlo",
+}
+
+
+class UnsupportedFormat(ValueError):
+    pass
+
+
+class Exporter:
+    def __init__(self, model, imgsz: int = 640, batch: int = 1, half: bool = True):
+        self.model = model
+        self.imgsz = imgsz
+        self.batch = batch
+        self.dtype = jnp.bfloat16 if half else jnp.float32
+
+    def _forward_fn(self):
+        variables = self.model.variables
+        graph = self.model.graph
+        dtype = self.model.dtype
+
+        def fn(x):
+            y, _ = graph.apply(variables, x.astype(dtype) / 255.0, train=False)
+            return y
+
+        return fn
+
+    def __call__(self, fmt: str = "stablehlo", path: str | Path = "export"):
+        fmt = fmt.lower()
+        if fmt in UNSUPPORTED:
+            raise UnsupportedFormat(f"format '{fmt}': {UNSUPPORTED[fmt]}")
+        if fmt not in FORMATS:
+            raise UnsupportedFormat(f"unknown format '{fmt}'; supported: {FORMATS}")
+        path = Path(path)
+        out = getattr(self, f"export_{fmt}")(path)
+        LOGGER.info(f"export {fmt} -> {out}")
+        return out
+
+    # -- formats -----------------------------------------------------------
+    def export_checkpoint(self, path: Path):
+        from yolo_ad_refine_tpu.engine.checkpoint import save_checkpoint
+
+        return save_checkpoint(path, model=self.model)
+
+    def export_stablehlo(self, path: Path):
+        from jax import export as jax_export
+
+        fn = self._forward_fn()
+        spec = jax.ShapeDtypeStruct((self.batch, self.imgsz, self.imgsz, 3), jnp.float32)
+        exported = jax_export.export(jax.jit(fn))(spec)
+        blob = exported.serialize()
+        path = path.with_suffix(".stablehlo")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_bytes(blob)
+        return path
+
+    def _tf_module(self):
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        fn = self._forward_fn()
+        tf_fn = jax2tf.convert(fn, with_gradient=False)
+        module = tf.Module()
+        module.f = tf.function(
+            tf_fn,
+            autograph=False,
+            input_signature=[tf.TensorSpec((self.batch, self.imgsz, self.imgsz, 3), tf.float32)],
+        )
+        return module
+
+    def export_saved_model(self, path: Path):
+        import tensorflow as tf
+
+        module = self._tf_module()
+        path = path.with_suffix(".savedmodel")
+        tf.saved_model.save(module, str(path))
+        return path
+
+    def export_tflite(self, path: Path):
+        import tensorflow as tf
+
+        sm_path = self.export_saved_model(path.with_name(path.name + "_sm"))
+        converter = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS,
+            tf.lite.OpsSet.SELECT_TF_OPS,
+        ]
+        blob = converter.convert()
+        path = path.with_suffix(".tflite")
+        path.write_bytes(blob)
+        return path
+
+
+# ---------------------------------------------------------------------------
+# AutoBackend: unified loader over exported formats (reference nn/autobackend.py:54)
+# ---------------------------------------------------------------------------
+
+
+class AutoBackend:
+    """Dispatching inference over exported artifacts: forward(img) -> (B,N,4+nc)."""
+
+    def __init__(self, weights: str | Path):
+        self.path = Path(weights)
+        if self.path.is_dir() and (self.path / "weights.msgpack").exists():
+            from yolo_ad_refine_tpu.engine.checkpoint import load_checkpoint
+
+            self.kind = "checkpoint"
+            self.model = load_checkpoint(self.path)
+            self._fn = jax.jit(lambda x: self.model.graph.apply(
+                self.model.variables, x.astype(self.model.dtype) / 255.0, train=False)[0])
+        elif self.path.suffix == ".stablehlo":
+            from jax import export as jax_export
+
+            self.kind = "stablehlo"
+            exported = jax_export.deserialize(self.path.read_bytes())
+            self._fn = jax.jit(exported.call)
+        elif self.path.suffix == ".savedmodel" or (self.path / "saved_model.pb").exists():
+            import tensorflow as tf
+
+            self.kind = "saved_model"
+            self._tf = tf.saved_model.load(str(self.path))
+            self._fn = lambda x: np.asarray(self._tf.f(np.asarray(x, np.float32)))
+        elif self.path.suffix == ".tflite":
+            import tensorflow as tf
+
+            self.kind = "tflite"
+            self._interp = tf.lite.Interpreter(model_path=str(self.path))
+            self._interp.allocate_tensors()
+            self._in = self._interp.get_input_details()[0]
+            self._out = self._interp.get_output_details()[0]
+
+            def fn(x):
+                self._interp.set_tensor(self._in["index"], np.asarray(x, np.float32))
+                self._interp.invoke()
+                return self._interp.get_tensor(self._out["index"])
+
+            self._fn = fn
+        else:
+            raise FileNotFoundError(f"unrecognized weights: {weights}")
+
+    def __call__(self, img):
+        return self._fn(img)

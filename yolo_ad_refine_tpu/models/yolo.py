@@ -79,6 +79,19 @@ class YOLO:
         predictor = DetectionPredictor(overrides=overrides)
         return predictor(source=source, model=self.model)
 
+    def export(self, format: str = "stablehlo", imgsz: int = 640, batch: int = 1,  # noqa: A002
+               half: bool = True, path: str | None = None):
+        from yolo_ad_refine_tpu.engine.exporter import Exporter
+
+        exporter = Exporter(self.model, imgsz=imgsz, batch=batch, half=half)
+        return exporter(format, path or f"model_{format}")
+
+    def benchmark(self, **kwargs):
+        """Format-matrix benchmark (reference utils/benchmarks.py:49)."""
+        from yolo_ad_refine_tpu.utils.benchmarks import benchmark as _benchmark
+
+        return _benchmark(self, **kwargs)
+
     def info(self):
         return self.model.info()
 

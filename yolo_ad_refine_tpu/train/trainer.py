@@ -33,6 +33,8 @@ from yolo_ad_refine_tpu.train.loss import DetectionLoss
 from yolo_ad_refine_tpu.train.optim import build_optimizer
 from yolo_ad_refine_tpu.train.step import TrainState, make_train_step
 from yolo_ad_refine_tpu.utils import DEFAULT_CFG_PATH, LOGGER, colorstr, increment_path, yaml_load, yaml_save
+from yolo_ad_refine_tpu.utils.callbacks import Callbacks, tensorboard_callbacks
+from yolo_ad_refine_tpu.utils.plotting import plot_images, plot_results
 
 
 def get_cfg(overrides: dict | None = None) -> dict:
@@ -80,6 +82,11 @@ class DetectionTrainer:
         self.best_fitness = 0.0
         self.start_epoch = 0
         self.csv = self.save_dir / "results.csv"
+        self.callbacks = Callbacks()
+        for hook, fn in tensorboard_callbacks(self.save_dir).items():
+            self.callbacks.add(hook, fn)
+        self.current_epoch = 0
+        self.last_epoch_scalars = {}
 
     # -- setup ------------------------------------------------------------
     def _setup(self):
@@ -156,15 +163,24 @@ class DetectionTrainer:
         rng = jax.random.PRNGKey(int(args.get("seed", 0)))
         t_start = time.time()
         final_epoch = self.epochs - 1
+        self.callbacks.run("on_train_start", self)
 
         for epoch in range(self.start_epoch, self.epochs):
+            self.current_epoch = epoch
+            self.callbacks.run("on_train_epoch_start", self)
             if close_mosaic and epoch == self.epochs - close_mosaic:
                 LOGGER.info("Closing dataloader mosaic")
                 self.train_loader.close_mosaic()
             self.train_loader.set_epoch(epoch)
             epoch_metrics = []  # device scalars; fetched once per epoch (no per-step sync)
+            nbatch = 0
             with self.mesh:
                 for batch in self.train_loader:
+                    if epoch == 0 and nbatch < 3 and self.args.get("plots", True):
+                        plot_images(batch["img"], batch["bboxes"], batch["cls"],
+                                    batch["mask"], self.data["names"],
+                                    self.save_dir / f"train_batch{nbatch}.jpg")
+                    nbatch += 1
                     rng, step_rng = jax.random.split(rng)
                     device_batch = shard_batch(
                         {k: batch[k] for k in ("img", "cls", "bboxes", "mask")}, self.mesh
@@ -189,10 +205,20 @@ class DetectionTrainer:
                 self.best_fitness = fitness
 
             self._log_epoch(epoch, mloss, results, time.time() - t_start)
+            self.last_epoch_scalars = {
+                "train/box_loss": float(mloss[0]), "train/cls_loss": float(mloss[1]),
+                "train/dfl_loss": float(mloss[2]),
+                **{k: float(v) for k, v in results.items() if isinstance(v, (int, float))},
+            }
+            self.callbacks.run("on_fit_epoch_end", self)
             self._save_ckpts(epoch, fitness)
+            self.callbacks.run("on_model_save", self)
             if self.stopper(epoch, fitness):
                 break
 
+        if self.args.get("plots", True):
+            plot_results(self.csv)
+        self.callbacks.run("on_train_end", self)
         LOGGER.info(f"training complete in {(time.time() - t_start) / 3600:.3f} h; "
                     f"best fitness {self.best_fitness:.4f}")
         return {"best_fitness": self.best_fitness, "save_dir": str(self.save_dir), **results}
