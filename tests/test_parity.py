@@ -80,6 +80,7 @@ def _build_torch_reference(cfg_path: str):
     "z-yaml/yolo11-697-newfpn+mona+AYHead+mlca3.yaml",
     "z-yaml/yolo11-newfpn.yaml",
     "z-yaml/yolo11-AYHead.yaml",
+    "z-yaml/yolo11-hsfpn+C2SFA.yaml",
 ])
 def test_param_count_parity(cfg):
     from yolo_ad_refine_tpu.models.model import DetectionModel

@@ -43,22 +43,23 @@ class DetectionGraph(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         input_h = x.shape[1]
-        saved: dict[int, Any] = {}
+        # full per-layer output list: 'from' may be absolute (savelist) or
+        # negative-relative (e.g. [-1, -2] in z-yaml ablations) — exactly the
+        # reference's y-list routing (tasks.py:141-168). Entries not in the
+        # savelist are dropped to None so XLA frees them.
+        ys: list[Any] = []
         out = x
         for i, (m, f) in enumerate(zip(self.modules, self.froms)):
+            def fetch(j, i=i):
+                return out if j == -1 else ys[j % i]  # j % i absolutizes negatives
+
             if i == self.head_idx:
-                feats = [out if j == -1 else saved[j] for j in f]
+                feats = [fetch(j) for j in f]
                 # train: per-level raw maps; eval: (decoded, per-level maps)
                 return m(feats, train=train, input_h=input_h)
-            if f == -1:
-                inp = out
-            elif isinstance(f, int):
-                inp = saved[f]
-            else:
-                inp = [out if j == -1 else saved[j] for j in f]
+            inp = fetch(f) if isinstance(f, int) else [fetch(j) for j in f]
             out = m(inp, train=train)
-            if i in self.save:
-                saved[i] = out
+            ys.append(out if i in self.save else None)
         return out  # headless graph (feature extractor)
 
 

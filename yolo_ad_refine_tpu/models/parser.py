@@ -175,7 +175,7 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
                     "C2PSA": B.C2PSA,
                     "C2PTSSA": T.C2PTSSA,
                     "C2TSSA_DYT_Mona_EDFFN": T.C2TSSADyTMonaEDFFN,
-                    "C2SFA": T.C2PTSSA,  # C2SFA ablation maps to the PTSSA family; refined later
+                    "C2SFA": T.C2SFA,
                 }[name]
                 module = cls(c2=c2, n=n, e=e if isinstance(e, float) else 0.5, dtype=dtype)
                 n = 1

@@ -341,3 +341,80 @@ class C2PTSSA(C2PSA):
 
     def inner_block(self, c: int, i: int):
         return ProgressiveTSSAFusion(c, num_heads=max(1, c // 64), dtype=self.dtype, name=f"m{i}")
+
+
+# ---------------------------------------------------------------------------
+# C2SFA ablation family (reference block.py:2049-2374)
+# ---------------------------------------------------------------------------
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-Excitation gate (reference block.py:2049-2064)."""
+
+    r: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = conv2d(g, int(c / self.r), 1, use_bias=False, dtype=self.dtype, name="fc0")
+        g = nn.relu(g)
+        g = conv2d(g, c, 1, use_bias=False, dtype=self.dtype, name="fc1")
+        return x * nn.sigmoid(g)
+
+
+class StandardFFN(nn.Module):
+    """1x1 expand -> GELU -> 1x1 project (reference block.py:2066-2078)."""
+
+    expansion: float = 2.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = conv2d(x, int(c * self.expansion), 1, use_bias=False, dtype=self.dtype, name="cv1")
+        y = gelu_exact(y)
+        return conv2d(y, c, 1, use_bias=False, dtype=self.dtype, name="cv2")
+
+
+class SimpleFeatureProcessor(nn.Module):
+    """GroupNorm -> DW3x3 -> GELU -> PW1x1 (reference block.py:2080-2096)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = nn.GroupNorm(num_groups=max(1, c // 32), dtype=self.dtype, name="norm")(x)
+        y = conv2d(y, c, 3, p=1, g=c, dtype=self.dtype, name="conv_dw")
+        y = gelu_exact(y)
+        return conv2d(y, c, 1, dtype=self.dtype, name="conv_pw")
+
+
+class ProgressiveTSSAFusion0(nn.Module):
+    """The C2SFA inner block (reference block.py:2152-2215): SFP -> SE gate
+    (x0.1 residual) then SFP -> FFN (x0.1 residual)."""
+
+    c: int
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        rw1 = self.param("residual_weight1", nn.initializers.constant(0.1), (), jnp.float32)
+        rw2 = self.param("residual_weight2", nn.initializers.constant(0.1), (), jnp.float32)
+        y = SimpleFeatureProcessor(dtype=self.dtype, name="pre_attn_block")(x, train)
+        y = SEBlock(dtype=self.dtype, name="attn")(y, train)
+        x = x + y * rw1.astype(x.dtype) if self.shortcut else y
+        y = SimpleFeatureProcessor(dtype=self.dtype, name="pre_ffn_block")(x, train)
+        y = StandardFFN(dtype=self.dtype, name="ffn")(y, train)
+        return x + y * rw2.astype(x.dtype) if self.shortcut else y
+
+
+@register(name="C2SFA")
+class C2SFA(C2PSA):
+    """C2PSA with ProgressiveTSSA_Fusion0 blocks (reference block.py:2358-2374)."""
+
+    def inner_block(self, c: int, i: int):
+        return ProgressiveTSSAFusion0(c, dtype=self.dtype, name=f"m{i}")
