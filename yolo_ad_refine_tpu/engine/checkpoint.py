@@ -49,6 +49,10 @@ def save_checkpoint(path: str | Path, *, model, state=None, epoch: int = -1,
         if include_optimizer and state is not None:
             train_blob["ema_updates"] = np.asarray(state.ema_updates)
             train_blob["step"] = np.asarray(state.step)
+            try:
+                train_blob["opt_state"] = _to_host(serialization.to_state_dict(state.opt_state))
+            except Exception as e:  # noqa: BLE001 - opt state is best-effort
+                LOGGER.warning(f"optimizer state not serializable ({e}); resume will re-init it")
         (path / "train.msgpack").write_bytes(serialization.msgpack_serialize(train_blob))
 
     yaml_save(path / "meta.yaml", {
@@ -90,3 +94,35 @@ def load_checkpoint(path: str | Path, dtype=jnp.float32):
     LOGGER.info(f"loaded checkpoint {path} (epoch {meta.get('epoch')}, "
                 f"fitness {meta.get('best_fitness'):.4f})")
     return model
+
+
+def load_train_state(path: str | Path, state, model):
+    """Restore a TrainState from a checkpoint dir for resume
+    (reference trainer.py:718-744 resume_training).
+
+    ``state`` is a freshly created TrainState used as the structure template;
+    returns (state, start_epoch, best_fitness).
+    """
+    path = Path(path)
+    meta = yaml_load(path / "meta.yaml")
+    ema_vars = serialization.msgpack_restore((path / "weights.msgpack").read_bytes())
+    blob = serialization.msgpack_restore((path / "train.msgpack").read_bytes())
+    raw = blob["variables"]
+    new_state = state.replace(
+        params=jax.tree.map(jnp.asarray, raw["params"]),
+        batch_stats=jax.tree.map(jnp.asarray, raw.get("batch_stats", {})),
+        ema_params=jax.tree.map(jnp.asarray, ema_vars["params"]),
+        ema_batch_stats=jax.tree.map(jnp.asarray, ema_vars.get("batch_stats", {})),
+    )
+    if "step" in blob:
+        new_state = new_state.replace(
+            step=jnp.asarray(blob["step"]), ema_updates=jnp.asarray(blob["ema_updates"])
+        )
+    if "opt_state" in blob:
+        try:
+            restored = serialization.from_state_dict(state.opt_state, blob["opt_state"])
+            new_state = new_state.replace(opt_state=jax.tree.map(jnp.asarray, restored))
+        except Exception as e:  # noqa: BLE001
+            LOGGER.warning(f"optimizer state restore failed ({e}); momentum restarts fresh")
+    start_epoch = int(meta.get("epoch", -1)) + 1
+    return new_state, start_epoch, float(meta.get("best_fitness", 0.0))

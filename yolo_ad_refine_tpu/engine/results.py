@@ -14,10 +14,16 @@ import numpy as np
 
 
 class Boxes:
-    """(n, 6) detections [x1, y1, x2, y2, conf, cls] in original-image pixels."""
+    """(n, 6) detections [x1, y1, x2, y2, conf, cls] or (n, 7) tracking rows
+    [x1, y1, x2, y2, track_id, conf, cls], original-image pixels."""
 
     def __init__(self, data: np.ndarray, orig_shape: tuple):
-        self.data = np.asarray(data, dtype=np.float32).reshape(-1, 6)
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim == 1:
+            data = data.reshape(-1, 6)
+        assert data.shape[-1] in (6, 7), f"expected 6 or 7 columns, got {data.shape}"
+        self.data = data
+        self.is_track = data.shape[-1] == 7
         self.orig_shape = orig_shape
 
     def __len__(self):
@@ -28,12 +34,16 @@ class Boxes:
         return self.data[:, :4]
 
     @property
+    def id(self):
+        return self.data[:, 4] if self.is_track else None
+
+    @property
     def conf(self):
-        return self.data[:, 4]
+        return self.data[:, -2]
 
     @property
     def cls(self):
-        return self.data[:, 5]
+        return self.data[:, -1]
 
     @property
     def xywh(self):
@@ -72,12 +82,15 @@ class Results:
 
         img = self.orig_img.copy()
         lw = line_width or max(round(sum(img.shape) / 2 * 0.003), 2)
-        for x1, y1, x2, y2, conf, cls in self.boxes.data:
+        for i, row in enumerate(self.boxes.data):
+            x1, y1, x2, y2 = row[:4]
+            conf, cls = row[-2], row[-1]
             c = int(cls)
             color = tuple(int(x) for x in np.array([37, 255, 153]) * ((c * 17 + 29) % 7 + 1) % 255)
             p1, p2 = (int(x1), int(y1)), (int(x2), int(y2))
             cv2.rectangle(img, p1, p2, color, lw)
-            label = f"{self.names.get(c, c)} {conf:.2f}"
+            tid = f"id:{int(row[4])} " if self.boxes.is_track else ""
+            label = f"{tid}{self.names.get(c, c)} {conf:.2f}"
             tw, th = cv2.getTextSize(label, 0, font_scale, 1)[0]
             cv2.rectangle(img, p1, (p1[0] + tw, p1[1] - th - 3), color, -1)
             cv2.putText(img, label, (p1[0], p1[1] - 2), 0, font_scale, (255, 255, 255), 1)
@@ -102,13 +115,17 @@ class Results:
 
     def tojson(self) -> str:
         out = []
-        for x1, y1, x2, y2, conf, cls in self.boxes.data:
-            out.append({
-                "name": str(self.names.get(int(cls), int(cls))),
-                "class": int(cls),
-                "confidence": round(float(conf), 5),
+        for row in self.boxes.data:
+            x1, y1, x2, y2 = row[:4]
+            entry = {
+                "name": str(self.names.get(int(row[-1]), int(row[-1]))),
+                "class": int(row[-1]),
+                "confidence": round(float(row[-2]), 5),
                 "box": {"x1": float(x1), "y1": float(y1), "x2": float(x2), "y2": float(y2)},
-            })
+            }
+            if self.boxes.is_track:
+                entry["track_id"] = int(row[4])
+            out.append(entry)
         return json.dumps(out, indent=2)
 
     def verbose(self) -> str:

@@ -79,6 +79,11 @@ class YOLO:
         predictor = DetectionPredictor(overrides=overrides)
         return predictor(source=source, model=self.model)
 
+    def track(self, source=None, tracker: str = "bytetrack", **kwargs):
+        from yolo_ad_refine_tpu.engine.track import track as _track
+
+        return _track(self.model, source, tracker=tracker, **kwargs)
+
     def export(self, format: str = "stablehlo", imgsz: int = 640, batch: int = 1,  # noqa: A002
                half: bool = True, path: str | None = None):
         from yolo_ad_refine_tpu.engine.exporter import Exporter

@@ -134,6 +134,22 @@ class DetectionTrainer:
         self.tx = tx
         self.state = TrainState.create(self.model.variables, tx)
 
+        # resume (reference trainer.py:686-744): restore params/EMA/optimizer/
+        # epoch/best_fitness from a previous run's last checkpoint
+        resume = args.get("resume")
+        if resume:
+            from yolo_ad_refine_tpu.engine.checkpoint import load_train_state
+
+            ckpt = Path(resume) if isinstance(resume, (str, Path)) and Path(str(resume)).exists() \
+                else self.wdir / "last"
+            if not (Path(ckpt) / "train.msgpack").exists():
+                raise FileNotFoundError(f"resume checkpoint not found at {ckpt}")
+            self.state, self.start_epoch, self.best_fitness = load_train_state(
+                ckpt, self.state, self.model
+            )
+            LOGGER.info(f"resuming from {ckpt} at epoch {self.start_epoch} "
+                        f"(best fitness {self.best_fitness:.4f})")
+
         self.mesh = make_mesh_for_batch(self.batch_size)
         step = make_train_step(self.model.graph, self.loss_fn, tx)
         self.train_step = make_parallel_train_step(step, self.mesh)
