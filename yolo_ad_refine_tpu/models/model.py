@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from yolo_ad_refine_tpu.models.parser import LayerSpec, load_model_cfg, parse_model_yaml
@@ -146,6 +147,60 @@ class DetectionModel:
             out, _ = self.apply(self.variables, x, train=True, rngs=rngs, mutable=True)
             return out
         return self.apply(self.variables, x, train=False, rngs=rngs)
+
+    # -- profiling -----------------------------------------------------------
+    def profile(self, x=None, imgsz: int = 640, batch: int = 1, iters: int = 10, verbose=True):
+        """Per-layer timing (reference BaseModel._profile_one_layer, tasks.py:178).
+
+        Each yaml layer is jitted separately and timed on its real
+        intermediate input. Returns [(i, name, ms, params)] sorted by cost.
+        """
+        import time
+
+        assert self.variables is not None
+        if x is None:
+            x = jnp.zeros((batch, imgsz, imgsz, 3), self.dtype)
+
+        # capture intermediate inputs with an instrumented eager pass
+        rows = []
+        ys: list = []
+        out = x
+        froms = self.graph.froms
+        for i, spec in enumerate(self.specs):
+            f = froms[i]
+
+            def fetch(j, i=i, out=out):
+                return out if j == -1 else ys[j % i]
+
+            inp = (
+                [fetch(j) for j in f]
+                if isinstance(f, (tuple, list))
+                else fetch(f)
+            )
+            scope_name = f"modules_{i}"
+            params = {"params": self.variables["params"].get(scope_name, {})}
+            if scope_name in self.variables.get("batch_stats", {}):
+                params["batch_stats"] = self.variables["batch_stats"][scope_name]
+            kwargs = {"train": False} if spec.is_head else {}  # eval path: BN immutable
+            fn = jax.jit(lambda p, a, m=spec.module, kw=kwargs: m.apply(p, a, **kw))
+            out_i = jax.block_until_ready(fn(params, inp))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out_i = fn(params, inp)
+            jax.block_until_ready(out_i)
+            ms = (time.perf_counter() - t0) / iters * 1000
+            n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params["params"]))
+            rows.append((i, spec.name, ms, n_params))
+            out = out_i if not spec.is_head else out
+            ys.append(out if i in self.graph.save else None)
+            if spec.is_head:
+                break
+        if verbose:
+            total = sum(r[2] for r in rows)
+            for i, name, ms, n in sorted(rows, key=lambda r: -r[2]):
+                LOGGER.info(f"{i:>3} {name:<28} {ms:8.3f} ms ({ms / total * 100:5.1f}%) {n:>10,} params")
+            LOGGER.info(f"total {total:.2f} ms/batch (bs={x.shape[0]})")
+        return rows
 
     # -- info ---------------------------------------------------------------
     def num_params(self) -> int:
