@@ -140,7 +140,7 @@ class TestAYHeadE2E:
 
         m = build_detection_model(TINY_AY_CFG, nc=3, imgsz=64)
         loss_fn = DetectionLoss(nc=3, strides=m.strides)
-        tx, _ = build_optimizer(m.variables["params"], optimizer="SGD", epochs=1, nb=1, batch=2)
+        tx, _, _ = build_optimizer(m.variables["params"], optimizer="SGD", epochs=1, nb=1, batch=2)
         state = TrainState.create(m.variables, tx)
         step = jax.jit(make_train_step(m.graph, loss_fn, tx))
         r = np.random.default_rng(0)

@@ -1,0 +1,53 @@
+"""Explorer tests (parity surface: reference tests/test_explorer.py, LanceDB-free)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def toy_imgs(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("expl")
+    (root / "images").mkdir()
+    rng = np.random.default_rng(0)
+    # 3 red-ish, 3 blue-ish images: similarity should cluster by color
+    for i in range(6):
+        img = np.zeros((64, 64, 3), np.uint8)
+        color = (255, 0, 0) if i < 3 else (0, 0, 255)
+        img[:, :] = color
+        img += rng.integers(0, 30, img.shape, dtype=np.uint8)
+        cv2.imwrite(str(root / "images" / f"{i}.jpg"), img)
+    return root / "images"
+
+
+def test_explorer_similarity(toy_imgs, tmp_path):
+    from yolo_ad_refine_tpu.data.explorer import Explorer
+    from yolo_ad_refine_tpu.models.model import build_detection_model
+
+    tiny = {
+        "nc": 2,
+        "backbone": [
+            [-1, 1, "Conv", [8, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+        ],
+        "head": [[[2, 3, 4], 1, "Detect", ["nc"]]],
+    }
+    model = build_detection_model(tiny, imgsz=64)
+    ex = Explorer(img_path=toy_imgs, model=model, imgsz=64, batch=4)
+    emb = ex.create_embeddings_table(cache=tmp_path / "emb.npz")
+    assert emb.shape[0] == 6
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-3)
+
+    sim = ex.get_similar(idx=0, limit=3)
+    assert sim[0]["idx"] == 0  # self is most similar
+    top3 = {s["idx"] for s in sim}
+    assert top3 <= {0, 1, 2}  # red images cluster together
+
+    # cache roundtrip
+    ex2 = Explorer(img_path=toy_imgs, model=model, imgsz=64, batch=4)
+    emb2 = ex2.create_embeddings_table(cache=tmp_path / "emb.npz")
+    np.testing.assert_allclose(emb, emb2)

@@ -127,7 +127,13 @@ def build_optimizer(params, *, optimizer: str = "auto", lr0: float = 0.01, lrf: 
         labels,
     )
     tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
-    return tx, accumulate
+    # per-group lr schedules, for logging (results.csv lr/pg0-2 schema)
+    lr_fns = {
+        "pg0": make_lr_fn(lr0, lrf, epochs, nb, warmup_epochs, 0.0, cos_lr),       # decay
+        "pg1": make_lr_fn(lr0, lrf, epochs, nb, warmup_epochs, 0.0, cos_lr),       # nodecay
+        "pg2": make_lr_fn(lr0, lrf, epochs, nb, warmup_epochs, warmup_bias_lr, cos_lr),  # bias
+    }
+    return tx, accumulate, lr_fns
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,32 @@ def get_cfg(overrides: dict | None = None) -> dict:
     return cfg
 
 
+def multi_scale_batch(batch: dict, imgsz: int, rng: np.random.Generator) -> dict:
+    """Random-resize a batch to 0.5-1.5x imgsz, stride-64 rounded
+    (reference detect/train.py:60-75).
+
+    TPU note: resizing happens host-side and each distinct size compiles its
+    own train-step executable (XLA static shapes); sizes are drawn from a
+    small discrete grid so the compile set stays bounded.
+    """
+    import cv2
+
+    lo = (int(imgsz * 0.5) // 64) * 64
+    hi = (int(imgsz * 1.5) // 64) * 64
+    sizes = list(range(max(lo, 64), hi + 1, 64))
+    sz = int(sizes[rng.integers(0, len(sizes))])
+    if sz == batch["img"].shape[1]:
+        return batch
+    scale = sz / batch["img"].shape[1]
+    imgs = np.stack([
+        cv2.resize(im, (sz, sz), interpolation=cv2.INTER_LINEAR) for im in batch["img"]
+    ])
+    out = dict(batch)
+    out["img"] = imgs
+    out["bboxes"] = batch["bboxes"] * scale
+    return out
+
+
 class EarlyStopping:
     """Stop when fitness stalls (reference torch_utils.py:716-758)."""
 
@@ -118,7 +144,7 @@ class DetectionTrainer:
             nc=data["nc"], strides=self.model.strides,
             box_gain=float(args["box"]), cls_gain=float(args["cls"]), dfl_gain=float(args["dfl"]),
         )
-        tx, accumulate = build_optimizer(
+        tx, accumulate, self.lr_fns = build_optimizer(
             self.model.variables["params"],
             optimizer=args.get("optimizer", "auto"), lr0=float(args["lr0"]),
             lrf=float(args["lrf"]), momentum=float(args["momentum"]),
@@ -190,6 +216,7 @@ class DetectionTrainer:
             self.train_loader.set_epoch(epoch)
             epoch_metrics = []  # device scalars; fetched once per epoch (no per-step sync)
             nbatch = 0
+            ms_rng = np.random.default_rng(int(args.get("seed", 0)) + epoch)
             with self.mesh:
                 for batch in self.train_loader:
                     if epoch == 0 and nbatch < 3 and self.args.get("plots", True):
@@ -197,6 +224,8 @@ class DetectionTrainer:
                                     batch["mask"], self.data["names"],
                                     self.save_dir / f"train_batch{nbatch}.jpg")
                     nbatch += 1
+                    if args.get("multi_scale"):
+                        batch = multi_scale_batch(batch, self.imgsz, ms_rng)
                     rng, step_rng = jax.random.split(rng)
                     device_batch = shard_batch(
                         {k: batch[k] for k in ("img", "cls", "bboxes", "mask")}, self.mesh
@@ -234,6 +263,16 @@ class DetectionTrainer:
 
         if self.args.get("plots", True):
             plot_results(self.csv)
+        # final eval of best.pt (reference trainer.py:670-684 final_eval)
+        best = self.wdir / "best"
+        if args.get("val", True) and (best / "weights.msgpack").exists():
+            from flax import serialization
+
+            LOGGER.info(f"Validating {best}...")
+            best_vars = serialization.msgpack_restore((best / "weights.msgpack").read_bytes())
+            best_vars = jax.tree.map(jnp.asarray, best_vars)
+            results = self.validator(model=self.model, variables=best_vars,
+                                     dataloader=self.val_loader)
         self.callbacks.run("on_train_end", self)
         LOGGER.info(f"training complete in {(time.time() - t_start) / 3600:.3f} h; "
                     f"best fitness {self.best_fitness:.4f}")
@@ -241,11 +280,15 @@ class DetectionTrainer:
 
     # -- logging / ckpt ---------------------------------------------------
     def _log_epoch(self, epoch, mloss, results, elapsed):
+        # schema matches reference results.csv (weights/*/results.csv)
         keys = ["epoch", "time", "train/box_loss", "train/cls_loss", "train/dfl_loss",
                 "metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)",
-                "metrics/mAP50-95(B)", "val/box_loss", "val/cls_loss", "val/dfl_loss"]
+                "metrics/mAP50-95(B)", "val/box_loss", "val/cls_loss", "val/dfl_loss",
+                "lr/pg0", "lr/pg1", "lr/pg2"]
+        step = int(self.state.step)
+        lrs = [float(self.lr_fns[k](step)) for k in ("pg0", "pg1", "pg2")]
         vals = [epoch, elapsed, *[float(x) for x in mloss],
-                *[results.get(k, 0.0) for k in keys[5:]]]
+                *[results.get(k, 0.0) for k in keys[5:12]], *lrs]
         header = not self.csv.exists()
         with open(self.csv, "a") as f:
             if header:
