@@ -55,6 +55,8 @@ class DetectionGraph(nn.Module):
                 return out if j == -1 else ys[j % i]  # j % i absolutizes negatives
 
             if i == self.head_idx:
+                if isinstance(f, int):  # single-input head (Classify)
+                    return m(fetch(f), train=train, input_h=input_h)
                 feats = [fetch(j) for j in f]
                 # train: per-level raw maps; eval: (decoded, per-level maps)
                 return m(feats, train=train, input_h=input_h)
@@ -95,7 +97,11 @@ class DetectionModel:
             reg_max=self.reg_max,
         )
         self.head_spec: LayerSpec = self.specs[head_idx] if head_idx >= 0 else None
-        self.nl = len(self.head_spec.f) if self.head_spec is not None else 0
+        self.nl = (
+            len(self.head_spec.f)
+            if self.head_spec is not None and isinstance(self.head_spec.f, (list, tuple))
+            else (1 if self.head_spec is not None else 0)
+        )
         self.variables = None
         self.strides = None
 
@@ -111,7 +117,7 @@ class DetectionModel:
 
     def probe_strides(self, imgsz: int = 640):
         """Static stride derivation via shape-only tracing (no FLOPs)."""
-        if self.head_spec is None:
+        if self.head_spec is None or self.head_spec.name == "Classify":
             return None
         dummy = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), self.dtype)
 

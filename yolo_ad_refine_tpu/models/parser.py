@@ -36,7 +36,7 @@ from yolo_ad_refine_tpu.nn import tssa as T
 from yolo_ad_refine_tpu.nn.common import make_divisible
 from yolo_ad_refine_tpu.utils import LOGGER, colorstr, yaml_load
 
-HEAD_MODULES = {"Detect", "AYHead", "AYHead1"}
+HEAD_MODULES = {"Detect", "AYHead", "AYHead1", "Classify"}
 # modules whose first yaml arg is an out-channel subject to width scaling
 WIDTH_SCALED = {
     "Conv", "DWConv", "SPPF", "C2f", "C3", "C3k2", "C2PSA",
@@ -220,6 +220,10 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
             cls = H.Detect if name == "Detect" else H.AYHead
             module = cls(nc=head_nc, ch=head_ch, dtype=dtype)
             c2 = 0
+        elif name == "Classify":
+            head_nc = args[0] if args else nc
+            module = H.Classify(nc=head_nc, dtype=dtype)
+            c2 = head_nc
         else:
             raise KeyError(
                 f"yaml module '{name}' (layer {i}) is not implemented in yolo_ad_refine_tpu"

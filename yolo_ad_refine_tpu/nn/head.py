@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -93,6 +94,25 @@ class Detect(nn.Module):
         )
         y = decode_detections(outputs, strides, self.nc, self.reg_max)
         return y, outputs
+
+
+@register
+class Classify(nn.Module):
+    """Classification head (reference head.py:259): Conv -> GAP -> Dropout ->
+    Linear. Train returns logits; eval returns softmax probabilities."""
+
+    nc: int = 1000
+    c_: int = 1280
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, input_h=None):
+        x = Conv(self.c_, 1, 1, dtype=self.dtype, name="conv")(x, train)
+        x = jnp.mean(x, axis=(1, 2))  # GAP
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        logits = nn.Dense(self.nc, dtype=self.dtype, name="linear")(x).astype(jnp.float32)
+        return logits if train else jax.nn.softmax(logits, axis=-1)
 
 
 class TaskDecomposition(nn.Module):
