@@ -122,7 +122,9 @@ class DetectionModel:
         dummy = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), self.dtype)
 
         def fwd(v, x):
-            return self.graph.apply(v, x, train=False)[1]  # eval path: (y, feats)
+            out = self.graph.apply(v, x, train=False)[1]  # eval path: (y, feats)
+            # Segment/Pose/OBB eval returns (feats, *extras)
+            return out[0] if isinstance(out, tuple) else out
 
         if self.variables is not None:
             var_shapes = self.variables

@@ -36,7 +36,7 @@ from yolo_ad_refine_tpu.nn import tssa as T
 from yolo_ad_refine_tpu.nn.common import make_divisible
 from yolo_ad_refine_tpu.utils import LOGGER, colorstr, yaml_load
 
-HEAD_MODULES = {"Detect", "AYHead", "AYHead1", "Classify"}
+HEAD_MODULES = {"Detect", "AYHead", "AYHead1", "Classify", "Segment", "Pose", "OBB"}
 # modules whose first yaml arg is an out-channel subject to width scaling
 WIDTH_SCALED = {
     "Conv", "DWConv", "SPPF", "C2f", "C3", "C3k2", "C2PSA",
@@ -224,6 +224,20 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
             head_nc = args[0] if args else nc
             module = H.Classify(nc=head_nc, dtype=dtype)
             c2 = head_nc
+        elif name in ("Segment", "Pose", "OBB"):
+            head_ch = tuple(ch_list[x] for x in f)
+            head_nc = args[0] if args else nc
+            if name == "Segment":
+                nm = args[1] if len(args) > 1 else 32
+                npr = args[2] if len(args) > 2 else 256
+                module = H.Segment(nc=head_nc, nm=nm, npr=npr, ch=head_ch, dtype=dtype)
+            elif name == "Pose":
+                kpt_shape = tuple(args[1]) if len(args) > 1 else (17, 3)
+                module = H.Pose(nc=head_nc, kpt_shape=kpt_shape, ch=head_ch, dtype=dtype)
+            else:
+                ne = args[1] if len(args) > 1 else 1
+                module = H.OBB(nc=head_nc, ne=ne, ch=head_ch, dtype=dtype)
+            c2 = 0
         else:
             raise KeyError(
                 f"yaml module '{name}' (layer {i}) is not implemented in yolo_ad_refine_tpu"

@@ -63,7 +63,13 @@ class Detect(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs, train: bool = False, input_h: int | None = None):
+    def __call__(self, xs, train: bool = False, input_h: int | None = None,
+                 decode: bool | None = None):
+        # decode defaults to eval-mode; subclass-style heads (Segment/Pose/OBB)
+        # pass decode=False to get raw per-level maps while keeping BN in the
+        # caller's train/eval mode
+        if decode is None:
+            decode = not train
         nl = len(self.ch)
         c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
         c3 = max(self.ch[0], min(self.nc, 100))
@@ -87,13 +93,160 @@ class Detect(nn.Module):
             )(s)
             outputs.append(jnp.concatenate([r, s], axis=-1))
         assert nl == len(outputs)
-        if train:
+        if not decode:
             return outputs
         strides = (
             tuple(input_h // f.shape[1] for f in outputs) if input_h is not None else self.strides
         )
         y = decode_detections(outputs, strides, self.nc, self.reg_max)
         return y, outputs
+
+
+class Proto(nn.Module):
+    """Mask prototype generator for segmentation (reference block.py Proto):
+    Conv 3x3 -> learned 2x upsample -> Conv 3x3 -> 1x1 to nm channels."""
+
+    c_: int = 256
+    c2: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c_, 3, dtype=self.dtype, name="cv1")(x, train)
+        x = nn.ConvTranspose(self.c_, (2, 2), strides=(2, 2), padding="VALID", use_bias=True,
+                             dtype=self.dtype, name="upsample")(x)
+        x = Conv(self.c_, 3, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+def _extra_branch(xs, c4: int, out_ch: int, dtype, name: str, train: bool):
+    """Per-level Conv3x3 -> Conv3x3 -> 1x1 branch flattened to (B, A, out_ch)
+    (the shared cv4 pattern of Segment/Pose/OBB, reference head.py:175,224,196)."""
+    outs = []
+    for i, x in enumerate(xs):
+        m = Conv(c4, 3, dtype=dtype, name=f"{name}_{i}_0")(x, train)
+        m = Conv(c4, 3, dtype=dtype, name=f"{name}_{i}_1")(m, train)
+        m = conv2d(m, out_ch, 1, dtype=dtype, name=f"{name}_{i}_2")
+        outs.append(m.reshape(m.shape[0], -1, out_ch))
+    return jnp.concatenate(outs, axis=1)  # (B, A, out_ch)
+
+
+@register
+class Segment(nn.Module):
+    """Segmentation head (reference head.py:164-186): Detect + mask
+    coefficients + Proto. Train -> (det_feats, mc, proto); eval ->
+    (cat(decoded, mc), (det_feats, mc, proto))."""
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    ch: tuple = ()
+    strides: tuple = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False, input_h: int | None = None):
+        p = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        c4 = max(self.ch[0] // 4, self.nm)
+        mc = _extra_branch(xs, c4, self.nm, self.dtype, "cv4", train)
+        det = Detect(self.nc, self.ch, self.strides, self.reg_max, self.dtype, name="detect")
+        feats = det(xs, train=train, input_h=input_h, decode=False)
+        if train:
+            return feats, mc, p
+        strides = (
+            tuple(input_h // f.shape[1] for f in feats) if input_h is not None else self.strides
+        )
+        y = decode_detections(feats, strides, self.nc, self.reg_max)
+        return jnp.concatenate([y, mc.astype(y.dtype)], axis=-1), (feats, mc, p)
+
+
+@register
+class Pose(nn.Module):
+    """Keypoint head (reference head.py:219-258): Detect + per-anchor
+    keypoint regression decoded as (k*2 + anchor - 0.5) * stride."""
+
+    nc: int = 1
+    kpt_shape: tuple = (17, 3)
+    ch: tuple = ()
+    strides: tuple = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False, input_h: int | None = None):
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        kpt = _extra_branch(xs, c4, nk, self.dtype, "cv4", train)  # (B, A, nk)
+        det = Detect(self.nc, self.ch, self.strides, self.reg_max, self.dtype, name="detect")
+        feats = det(xs, train=train, input_h=input_h, decode=False)
+        if train:
+            return feats, kpt
+        strides = (
+            tuple(input_h // f.shape[1] for f in feats) if input_h is not None else self.strides
+        )
+        y = decode_detections(feats, strides, self.nc, self.reg_max)
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors, stride_t = make_anchors(shapes, strides, 0.5)
+        k = kpt.astype(jnp.float32).reshape(kpt.shape[0], kpt.shape[1], *self.kpt_shape)
+        xy = (k[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) * stride_t[None, :, None, :]
+        if self.kpt_shape[1] == 3:
+            vis = nn.sigmoid(k[..., 2:3])
+            k = jnp.concatenate([xy, vis], axis=-1)
+        else:
+            k = xy
+        k = k.reshape(kpt.shape[0], kpt.shape[1], nk)
+        return jnp.concatenate([y, k], axis=-1), (feats, kpt)
+
+
+@register
+class OBB(nn.Module):
+    """Oriented-box head (reference head.py:189-217): Detect + angle branch,
+    boxes decoded rotated (dist2rbox)."""
+
+    nc: int = 80
+    ne: int = 1
+    ch: tuple = ()
+    strides: tuple = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False, input_h: int | None = None):
+        c4 = max(self.ch[0] // 4, self.ne)
+        angle_logits = _extra_branch(xs, c4, self.ne, self.dtype, "cv4", train)
+        angle = (nn.sigmoid(angle_logits.astype(jnp.float32)) - 0.25) * math.pi  # [-pi/4, 3pi/4]
+        det = Detect(self.nc, self.ch, self.strides, self.reg_max, self.dtype, name="detect")
+        feats = det(xs, train=train, input_h=input_h, decode=False)
+        if train:
+            return feats, angle
+        strides = (
+            tuple(input_h // f.shape[1] for f in feats) if input_h is not None else self.strides
+        )
+        b = feats[0].shape[0]
+        no = 4 * self.reg_max + self.nc
+        x_cat = jnp.concatenate([f.reshape(b, -1, no) for f in feats], axis=1)
+        box, cls = x_cat[..., : 4 * self.reg_max], x_cat[..., 4 * self.reg_max :]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors, stride_t = make_anchors(shapes, strides, 0.5)
+        dist = dfl_decode(box, self.reg_max)
+        rbox = dist2rbox(dist, angle[..., 0], anchors[None]) * stride_t[None]
+        y = jnp.concatenate(
+            [rbox, nn.sigmoid(cls.astype(jnp.float32)), angle], axis=-1
+        )
+        return y, (feats, angle)
+
+
+def dist2rbox(distance, angle, anchor_points):
+    """Decode rotated boxes (reference utils/tal.py dist2rbox): lt/rb distances
+    rotated by angle around the anchor. Returns (cx, cy, w, h)."""
+    lt, rb = jnp.split(distance, 2, axis=-1)
+    cos, sin = jnp.cos(angle)[..., None], jnp.sin(angle)[..., None]
+    xf_yf = (rb - lt) / 2
+    x = xf_yf[..., 0:1] * cos - xf_yf[..., 1:2] * sin
+    y = xf_yf[..., 0:1] * sin + xf_yf[..., 1:2] * cos
+    xy = jnp.concatenate([x, y], axis=-1) + anchor_points
+    return jnp.concatenate([xy, lt + rb], axis=-1)
 
 
 @register
