@@ -182,6 +182,30 @@ def mixup(img1, boxes1, cls1, img2, boxes2, cls2, rng: np.random.Generator):
     return img, np.concatenate([boxes1, boxes2]), np.concatenate([cls1, cls2])
 
 
+def extra_augment(img, rng: np.random.Generator, p: float = 0.01):
+    """Low-probability photometric extras (reference augment.py:1732-1918
+    Albumentations wrapper: blur / median blur / CLAHE / grayscale, p=0.01
+    each), implemented directly in cv2 — no optional dependency.
+
+    copy_paste note: the reference's CopyPaste requires instance segments;
+    box-only datasets (this fork's) skip it upstream too.
+    """
+    if rng.random() < p:
+        k = int(rng.integers(1, 4)) * 2 + 1
+        img = cv2.blur(img, (k, k))
+    if rng.random() < p:
+        k = int(rng.integers(1, 4)) * 2 + 1
+        img = cv2.medianBlur(img, k)
+    if rng.random() < p:
+        lab = cv2.cvtColor(img, cv2.COLOR_BGR2LAB)
+        lab[..., 0] = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8)).apply(lab[..., 0])
+        img = cv2.cvtColor(lab, cv2.COLOR_LAB2BGR)
+    if rng.random() < p:
+        gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        img = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR)
+    return img
+
+
 def flip_lr(img, boxes):
     img = np.fliplr(img)
     if len(boxes):

@@ -220,6 +220,7 @@ class YOLODataset:
 
         if self.augment:
             img = np.ascontiguousarray(img)
+            img = A.extra_augment(img, rng)
             A.augment_hsv(img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7),
                           hyp.get("hsv_v", 0.4))
             if rng.random() < hyp.get("flipud", 0.0):

@@ -30,10 +30,11 @@ from yolo_ad_refine_tpu.ops.nms import non_max_suppression
 from yolo_ad_refine_tpu.utils import LOGGER, increment_path
 
 
-def load_sources(source) -> list[tuple[str, np.ndarray]]:
-    """Resolve source (path/dir/list/np array) to [(name, BGR image)]."""
-    import cv2
+def load_sources(source, vid_stride: int = 1) -> list[tuple[str, np.ndarray]]:
+    """Resolve source (path/dir/video/list/np array) to [(name, BGR frame)].
 
+    Videos are expanded to per-frame entries via data.loaders (reference
+    LoadImagesAndVideos behavior)."""
     if isinstance(source, np.ndarray):
         return [("image0.jpg", source)]
     if isinstance(source, (list, tuple)):
@@ -41,20 +42,12 @@ def load_sources(source) -> list[tuple[str, np.ndarray]]:
         for i, s in enumerate(source):
             out.extend(load_sources(s) if not isinstance(s, np.ndarray) else [(f"image{i}.jpg", s)])
         return out
-    p = Path(source)
-    if p.is_dir():
-        files = [f for f in sorted(p.rglob("*")) if f.suffix[1:].lower() in IMG_FORMATS]
-    elif p.is_file():
-        files = [p]
-    else:
-        raise FileNotFoundError(f"source not found: {source}")
+    from yolo_ad_refine_tpu.data.loaders import load_inference_source
+
     out = []
-    for f in files:
-        im = cv2.imread(str(f))
-        if im is None:
-            LOGGER.warning(f"skipping unreadable image {f}")
-            continue
-        out.append((str(f), im))
+    for path, frame, meta in load_inference_source(source, vid_stride):
+        name = f"{path}#{meta['frame']}" if meta.get("video") else path
+        out.append((name, frame))
     return out
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
+from pathlib import Path
 
 import numpy as np
 
@@ -111,7 +112,20 @@ class DetectionValidator:
         results["speed_ms_per_image"] = total_ms
         results["inference_ms_per_image"] = profs["inference"].t / max(seen, 1) * 1000
         self._print_results(metrics, seen, names)
+        if self.args.get("plots") and self.args.get("save_dir"):
+            self._plot(metrics, confusion, names, Path(self.args["save_dir"]))
         return results
+
+    def _plot(self, metrics, confusion, names, save_dir):
+        from yolo_ad_refine_tpu.utils.plotting import plot_confusion_matrix, plot_pr_curve
+
+        save_dir.mkdir(parents=True, exist_ok=True)
+        plot_confusion_matrix(confusion.matrix, names, save_dir / "confusion_matrix.png")
+        box = metrics.box
+        if len(box.all_ap) and getattr(box, "p_curve", None) is not None:
+            # precision over the recall grid: plot P(conf-grid) against R(conf-grid)
+            plot_pr_curve(box.r_curve.mean(0), box.p_curve, box.all_ap,
+                          save_dir / "PR_curve.png", names)
 
     # -- per-batch metric update ----------------------------------------------
     def _update_metrics(self, det, cnt, batch, metrics: DetMetrics,

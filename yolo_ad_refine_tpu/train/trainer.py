@@ -183,6 +183,7 @@ class DetectionTrainer:
         self.validator = DetectionValidator(args={
             **{k: args[k] for k in ("imgsz", "iou", "max_det", "max_boxes")},
             "batch": self.batch_size, "conf": 0.001, "split": args.get("split", "val"),
+            "plots": bool(args.get("plots", True)), "save_dir": str(self.save_dir),
         })
         val_path = data.get(args.get("split", "val")) or data["train"]
         val_ds = YOLODataset(val_path, imgsz=self.imgsz, augment=False, nc=data["nc"],

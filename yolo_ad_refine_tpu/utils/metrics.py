@@ -148,6 +148,9 @@ class Metric:
         self.all_ap = results["ap"]
         self.ap_class_index = results["unique_classes"]
         self.nt_per_class = results["nt"]
+        self.p_curve = results.get("p_curve")
+        self.r_curve = results.get("r_curve")
+        self.px = results.get("x")
 
     @property
     def fitness(self) -> float:
