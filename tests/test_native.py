@@ -10,7 +10,11 @@ pytestmark = pytest.mark.skipif(get_lib() is None, reason="no C++ toolchain")
 
 
 def test_nms_native_matches_numpy_reference():
-    from tests.test_ops import nms_numpy  # naive greedy reference
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_ops import nms_numpy  # naive greedy reference
 
     r = np.random.default_rng(0)
     n = 400

@@ -37,14 +37,42 @@ def _build_torch_reference(cfg_path: str):
         tv.ops = stub("torchvision.ops", nms=lambda *a, **k: torch.zeros(0, dtype=torch.long))
 
         class ModulatedDeformConv2d(nn.Module):
+            """Faithful pure-torch DCNv2 (replaces mmcv's CUDA kernel):
+            per-tap bilinear sampling with zero padding via grid_sample,
+            masked, contracted with the tap's weight slice."""
+
             def __init__(self, in_c, out_c, k, stride=1, padding=0, bias=True):
                 super().__init__()
-                self.weight = nn.Parameter(torch.zeros(out_c, in_c, k, k))
+                self.k = k
+                self.weight = nn.Parameter(torch.randn(out_c, in_c, k, k) * 0.05)
                 if bias:
                     self.bias = nn.Parameter(torch.zeros(out_c))
 
             def forward(self, x, offset, mask):
-                return nn.functional.conv2d(x, self.weight, getattr(self, "bias", None), padding=1)
+                import torch.nn.functional as F
+
+                b, c, h, w = x.shape
+                k = self.k
+                pad = k // 2
+                offset = offset.view(b, k * k, 2, h, w)
+                mask = mask.view(b, k * k, 1, h, w)
+                ys = torch.arange(h, dtype=x.dtype).view(1, h, 1)
+                xs = torch.arange(w, dtype=x.dtype).view(1, 1, w)
+                out = 0.0
+                for t in range(k * k):
+                    ky, kx = divmod(t, k)
+                    cy = ys + (ky - pad) + offset[:, t, 0]
+                    cx = xs + (kx - pad) + offset[:, t, 1]
+                    gx = (cx + 0.5) / w * 2 - 1
+                    gy = (cy + 0.5) / h * 2 - 1
+                    grid = torch.stack([gx, gy], dim=-1)  # (b, h, w, 2)
+                    sampled = F.grid_sample(x, grid, mode="bilinear",
+                                            padding_mode="zeros", align_corners=False)
+                    sampled = sampled * mask[:, t]
+                    out = out + F.conv2d(sampled, self.weight[:, :, ky, kx][..., None, None])
+                if getattr(self, "bias", None) is not None:
+                    out = out + self.bias.view(1, -1, 1, 1)
+                return out
 
         stub("mmcv")
         stub("mmcv.ops", ModulatedDeformConv2d=ModulatedDeformConv2d)

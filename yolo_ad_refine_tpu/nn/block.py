@@ -187,8 +187,8 @@ class PSABlock(nn.Module):
     def __call__(self, x, train: bool = False):
         a = Attention(self.c, self.num_heads, self.attn_ratio, dtype=self.dtype, name="attn")(x, train)
         x = x + a if self.shortcut else a
-        f = Conv(self.c * 2, 1, dtype=self.dtype, name="ffn0")(x, train)
-        f = Conv(self.c, 1, act=False, dtype=self.dtype, name="ffn1")(f, train)
+        f = Conv(self.c * 2, 1, dtype=self.dtype, name="ffn_0")(x, train)
+        f = Conv(self.c, 1, act=False, dtype=self.dtype, name="ffn_1")(f, train)
         return x + f if self.shortcut else f
 
 
@@ -351,8 +351,10 @@ class ELAHSFPN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
-        conv = nn.Conv(c, (7,), padding=[(3, 3)], use_bias=True, dtype=self.dtype, name="conv1x1")
-        gn = nn.GroupNorm(num_groups=16, dtype=self.dtype, name="gn")
+        # names mirror the torch Sequential (conv1x1.0 = Conv1d, conv1x1.1 = GN)
+        conv = nn.Conv(c, (7,), padding=[(3, 3)], use_bias=True, dtype=self.dtype,
+                       name="conv1x1_0")
+        gn = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype, name="conv1x1_1")
 
         pool_h = jnp.mean(x, axis=2)  # (b, h, c) — avg over W
         pool_w = jnp.mean(x, axis=1)  # (b, w, c) — avg over H

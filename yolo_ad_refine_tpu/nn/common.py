@@ -149,7 +149,7 @@ class ConvGN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=16, dtype=self.dtype, name="gn")(x)
+        x = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype, name="gn")(x)
         fn = _resolve_act(self.act)
         return fn(x) if fn else x
 

@@ -81,11 +81,14 @@ class Detect(nn.Module):
                 4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
                 bias_init=nn.initializers.ones, name=f"cv2_{i}_2",
             )(r)
-            # YOLO11 cls branch: 2x (DWConv 3x3 + Conv 1x1) then 1x1 logits
-            s = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cv3_{i}_0a")(x, train)
-            s = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0b")(s, train)
-            s = DWConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1a")(s, train)
-            s = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1b")(s, train)
+            # YOLO11 cls branch: 2x (DWConv 3x3 + Conv 1x1) then 1x1 logits.
+            # Names mirror the torch Sequential flattening (cv3.{i}.{j}.{k})
+            # so utils/torch_import maps state_dicts mechanically.
+            cin = x.shape[-1]
+            s = Conv(cin, 3, g=cin, dtype=self.dtype, name=f"cv3_{i}_0_0")(x, train)
+            s = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_0_1")(s, train)
+            s = Conv(c3, 3, g=c3, dtype=self.dtype, name=f"cv3_{i}_1_0")(s, train)
+            s = Conv(c3, 1, dtype=self.dtype, name=f"cv3_{i}_1_1")(s, train)
             cls_bias = math.log(5 / self.nc / (640 / self.strides[i]) ** 2)
             s = nn.Conv(
                 self.nc, (1, 1), use_bias=True, dtype=self.dtype,
@@ -302,7 +305,7 @@ class TaskDecomposition(nn.Module):
             self.feat_channels, (1, 1), use_bias=False, dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.01), name="reduction_conv",
         )(gated)
-        y = nn.GroupNorm(num_groups=16, dtype=self.dtype, name="gn")(y)
+        y = nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype, name="gn")(y)
         return silu(y)
 
 
@@ -371,7 +374,7 @@ class DyDCNv2(nn.Module):
             jnp.float32,
         )
         y = modulated_deform_conv2d(x, offset, mask, weight.astype(x.dtype))
-        return nn.GroupNorm(num_groups=16, dtype=self.dtype, name="gn")(y)
+        return nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype, name="gn")(y)
 
 
 class ResidualBlockGN(nn.Module):
@@ -415,8 +418,8 @@ class AYHead(nn.Module):
         task_ch = hidc // 2
 
         # shared trunk modules (instantiated once -> weights shared over levels)
-        share1 = ConvGN(task_ch, 3, dtype=self.dtype, name="share_conv0")
-        share2 = ConvGN(task_ch, 3, dtype=self.dtype, name="share_conv1")
+        share1 = ConvGN(task_ch, 3, dtype=self.dtype, name="share_conv_0")
+        share2 = ConvGN(task_ch, 3, dtype=self.dtype, name="share_conv_1")
         cls_decomp = TaskDecomposition(task_ch, 1, 16, dtype=self.dtype, name="cls_decomp")
         reg_decomp = TaskDecomposition(task_ch, 1, 16, dtype=self.dtype, name="reg_decomp")
         cross_task = CrossTaskInteraction(task_ch, dtype=self.dtype, name="cross_task")
@@ -427,13 +430,14 @@ class AYHead(nn.Module):
         offset_dim = 2 * 9
         cls_prior = -math.log((1 - 0.01) / 0.01)
 
-        # shared output convs (single torch instances applied per level)
+        # shared output convs (single torch instances applied per level);
+        # names mirror the torch Sequential indices for checkpoint import
         spatial_offset_conv = nn.Conv(27, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
                                       dtype=self.dtype, name="spatial_conv_offset")
         cls_prob_conv0 = nn.Conv(task_ch // 2, (1, 1), use_bias=True, dtype=self.dtype,
-                                 name="cls_prob_conv0")
+                                 name="cls_prob_conv_0")
         cls_prob_conv1 = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
-                                 dtype=self.dtype, name="cls_prob_conv1")
+                                 dtype=self.dtype, name="cls_prob_conv_2")
         cv2 = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
                       bias_init=nn.initializers.ones, name="cv2")
         cv3 = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
@@ -453,7 +457,7 @@ class AYHead(nn.Module):
 
         outputs = []
         for i in range(nl):
-            adapted = ConvGN(hidc, 1, dtype=self.dtype, name=f"stem{i}")(xs[i], train)
+            adapted = ConvGN(hidc, 1, dtype=self.dtype, name=f"stems_{i}")(xs[i], train)
             feat = share2(share1(adapted, train), train)
 
             avg_feat = jnp.mean(feat, axis=(1, 2), keepdims=True)

@@ -81,7 +81,7 @@ class AttentionTSSA(nn.Module):
         attn = 1.0 / (1.0 + dots)
         out = -(w32 * pi[..., None]) * attn
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim).astype(x.dtype)
-        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out_0")(out)
 
 
 class MonaOp(nn.Module):
@@ -111,9 +111,9 @@ class Mona(nn.Module):
         identity = x
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (c,), jnp.float32)
         gammax = self.param("gammax", nn.initializers.ones, (c,), jnp.float32)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x) * gamma.astype(x.dtype) + x * gammax.astype(
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x) * gamma.astype(
             x.dtype
-        )
+        ) + x * gammax.astype(x.dtype)
         y = conv2d(y, 64, 1, dtype=self.dtype, name="project1")
         y = MonaOp(dtype=self.dtype, name="adapter_conv")(y, train)
         y = gelu_exact(y)
@@ -211,6 +211,7 @@ class CrossScaleAttentionTSSA(nn.Module):
         b, h, w, c = x.shape
         nh = self.num_heads
         d = self.dim // nh
+        temps = self.param("temps", nn.initializers.ones, (len(self.scales), nh, 1), jnp.float32)
         outs = []
         for i, scale in enumerate(self.scales):
             if scale > 1:
@@ -219,14 +220,14 @@ class CrossScaleAttentionTSSA(nn.Module):
                 tokens = xs.reshape(b, h * w, c)
             else:
                 tokens = x.reshape(b, h * w, c)
-            qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype, name=f"qkv{i}")(tokens)
+            qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype,
+                           name=f"qkv_projections_{i}")(tokens)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = q.reshape(b, -1, nh, d).transpose(0, 2, 1, 3).astype(jnp.float32)
             k = k.reshape(b, -1, nh, d).transpose(0, 2, 1, 3).astype(jnp.float32)
             v = v.reshape(b, -1, nh, d).transpose(0, 2, 1, 3).astype(jnp.float32)
-            temp = self.param(f"temp{i}", nn.initializers.ones, (nh, 1), jnp.float32)
             q_normed = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
-            pi = nn.softmax(jnp.sum(q_normed**2, axis=-1) * temp, axis=-1)  # (b, nh, n) over tokens
+            pi = nn.softmax(jnp.sum(q_normed**2, axis=-1) * temps[i], axis=-1)  # over tokens
             dots = jnp.einsum("bhn,bhnd->bhd", pi, k**2)[:, :, None, :]
             attn = 1.0 / (1.0 + dots)
             out = -(v * pi[..., None]) * attn
@@ -242,7 +243,7 @@ class CrossScaleAttentionTSSA(nn.Module):
             fused = fused.reshape(b, len(outs), h * w, c).mean(axis=1)
         else:
             fused = outs[0]
-        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(fused)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out_0")(fused)
 
 
 class AdaptiveDynamicTanh(nn.Module):
@@ -263,9 +264,10 @@ class AdaptiveDynamicTanh(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         gap = jnp.mean(x, axis=(1, 2), keepdims=True)
-        g = conv2d(gap, c // 4, 1, dtype=self.dtype, name="gate0")
+        # names mirror the torch Sequential indices (importance_gate.1 / .3)
+        g = conv2d(gap, c // 4, 1, dtype=self.dtype, name="importance_gate_1")
         g = nn.relu(g)
-        g = conv2d(g, ns, 1, dtype=self.dtype, name="gate1")
+        g = conv2d(g, ns, 1, dtype=self.dtype, name="importance_gate_3")
         importance = nn.softmax(g, axis=-1)  # (b, 1, 1, ns)
 
         out = 0.0
@@ -291,17 +293,17 @@ class ProgressiveFeatureFusion(nn.Module):
         outs = []
         current = x
         for i in range(self.num_stages):
-            p = conv2d(current, c, 3, p=1, g=c, dtype=self.dtype, name=f"s{i}_conv")
+            p = conv2d(current, c, 3, p=1, g=c, dtype=self.dtype, name=f"stages_{i}_conv")
             p = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                             dtype=self.dtype, name=f"s{i}_norm")(p)
+                             dtype=self.dtype, name=f"stages_{i}_norm")(p)
             p = gelu_exact(p)
-            ch_mix = conv2d(p, c, 1, dtype=self.dtype, name=f"s{i}_channel_mix")
-            sp_mix = conv2d(p, c, 7, p=3, g=c, dtype=self.dtype, name=f"s{i}_spatial_mix")
+            ch_mix = conv2d(p, c, 1, dtype=self.dtype, name=f"stages_{i}_channel_mix")
+            sp_mix = conv2d(p, c, 7, p=3, g=c, dtype=self.dtype, name=f"stages_{i}_spatial_mix")
             out = ch_mix + sp_mix + current
             outs.append(out)
             if i < self.num_stages - 1:
                 fused = jnp.concatenate([current, out], axis=-1)
-                current = conv2d(fused, c, 1, dtype=self.dtype, name=f"fusion{i}")
+                current = conv2d(fused, c, 1, dtype=self.dtype, name=f"stage_fusion_{i}")
         final = sum(stage_att[i].astype(x.dtype) * outs[i] for i in range(self.num_stages))
         return final + x
 
@@ -386,7 +388,7 @@ class SimpleFeatureProcessor(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
-        y = nn.GroupNorm(num_groups=max(1, c // 32), dtype=self.dtype, name="norm")(x)
+        y = nn.GroupNorm(num_groups=max(1, c // 32), epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         y = conv2d(y, c, 3, p=1, g=c, dtype=self.dtype, name="conv_dw")
         y = gelu_exact(y)
         return conv2d(y, c, 1, dtype=self.dtype, name="conv_pw")
