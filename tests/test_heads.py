@@ -50,6 +50,30 @@ class TestPose:
         assert kx.min() >= -33 and kx.max() <= 64 + 33
 
 
+class TestV10Detect:
+    def test_contract(self):
+        m = build([[2, 3, 4], 1, "v10Detect", ["nc"]])
+        x = jnp.zeros((2, 64, 64, 3))
+        out = m(x, train=True)
+        assert set(out) == {"one2many", "one2one"}
+        assert len(out["one2one"]) == 3
+        det, raw = m(x, train=False)
+        assert det.shape == (2, A64, 6)  # NMS-free top-k (max_det >= anchors here)
+        # scores sorted descending
+        s = np.asarray(det[0, :, 4])
+        assert (np.diff(s) <= 1e-6).all()
+
+
+class TestWorldDetect:
+    def test_contract_with_text(self):
+        m = build([[2, 3, 4], 1, "WorldDetect", ["nc", 32]])
+        x = jnp.zeros((2, 64, 64, 3))
+        feats = m(x, train=True)
+        assert len(feats) == 3 and feats[0].shape[-1] == 64 + 3
+        y, feats = m(x, train=False)
+        assert y.shape == (2, A64, 4 + 3)
+
+
 class TestOBB:
     def test_contract(self):
         m = build([[2, 3, 4], 1, "OBB", ["nc", 1]])

@@ -123,6 +123,8 @@ class DetectionModel:
 
         def fwd(v, x):
             out = self.graph.apply(v, x, train=False)[1]  # eval path: (y, feats)
+            if isinstance(out, dict):  # v10Detect: {'one2many', 'one2one'}
+                return out["one2one"]
             # Segment/Pose/OBB eval returns (feats, *extras)
             return out[0] if isinstance(out, tuple) else out
 

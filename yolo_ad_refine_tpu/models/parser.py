@@ -36,7 +36,8 @@ from yolo_ad_refine_tpu.nn import tssa as T
 from yolo_ad_refine_tpu.nn.common import make_divisible
 from yolo_ad_refine_tpu.utils import LOGGER, colorstr, yaml_load
 
-HEAD_MODULES = {"Detect", "AYHead", "AYHead1", "Classify", "Segment", "Pose", "OBB"}
+HEAD_MODULES = {"Detect", "AYHead", "AYHead1", "Classify", "Segment", "Pose", "OBB",
+                "v10Detect", "WorldDetect"}
 # modules whose first yaml arg is an out-channel subject to width scaling
 WIDTH_SCALED = {
     "Conv", "DWConv", "SPPF", "C2f", "C3", "C3k2", "C2PSA",
@@ -224,6 +225,17 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
             head_nc = args[0] if args else nc
             module = H.Classify(nc=head_nc, dtype=dtype)
             c2 = head_nc
+        elif name in ("v10Detect", "WorldDetect"):
+            head_ch = tuple(ch_list[x] for x in f)
+            head_nc = args[0] if args else nc
+            if name == "v10Detect":
+                module = H.v10Detect(nc=head_nc, ch=head_ch, dtype=dtype)
+            else:
+                embed = args[1] if len(args) > 1 else 512
+                with_bn = args[2] if len(args) > 2 else True
+                module = H.WorldDetect(nc=head_nc, embed=embed, with_bn=with_bn,
+                                       ch=head_ch, dtype=dtype)
+            c2 = 0
         elif name in ("Segment", "Pose", "OBB"):
             head_ch = tuple(ch_list[x] for x in f)
             head_nc = args[0] if args else nc

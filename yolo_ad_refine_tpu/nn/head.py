@@ -105,6 +105,115 @@ class Detect(nn.Module):
         return y, outputs
 
 
+@register
+class v10Detect(nn.Module):
+    """YOLOv10 end-to-end head (reference head.py:564): light depthwise cls
+    branch, dual one2many/one2one predictions, NMS-free top-k selection at
+    eval (consistent dual assignment is a training-time concern).
+    """
+
+    nc: int = 80
+    ch: tuple = ()
+    strides: tuple = (8, 16, 32)
+    reg_max: int = 16
+    max_det: int = 300
+    dtype: Dtype = jnp.float32
+
+    def _branches(self, xs, suffix: str, train: bool):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outputs = []
+        for i, x in enumerate(xs):
+            r = Conv(c2, 3, dtype=self.dtype, name=f"cv2{suffix}_{i}_0")(x, train)
+            r = Conv(c2, 3, dtype=self.dtype, name=f"cv2{suffix}_{i}_1")(r, train)
+            r = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                        bias_init=nn.initializers.ones, name=f"cv2{suffix}_{i}_2")(r)
+            cin = x.shape[-1]
+            s = Conv(cin, 3, g=cin, dtype=self.dtype, name=f"cv3{suffix}_{i}_0_0")(x, train)
+            s = Conv(c3, 1, dtype=self.dtype, name=f"cv3{suffix}_{i}_0_1")(s, train)
+            s = Conv(c3, 3, g=c3, dtype=self.dtype, name=f"cv3{suffix}_{i}_1_0")(s, train)
+            s = Conv(c3, 1, dtype=self.dtype, name=f"cv3{suffix}_{i}_1_1")(s, train)
+            cls_bias = math.log(5 / self.nc / (640 / self.strides[i]) ** 2)
+            s = nn.Conv(self.nc, (1, 1), use_bias=True, dtype=self.dtype,
+                        bias_init=nn.initializers.constant(cls_bias),
+                        name=f"cv3{suffix}_{i}_2")(s)
+            outputs.append(jnp.concatenate([r, s], axis=-1))
+        return outputs
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False, input_h: int | None = None):
+        one2many = self._branches(xs, "", train)
+        one2one = self._branches([jax.lax.stop_gradient(x) for x in xs], "_one2one", train)
+        if train:
+            return {"one2many": one2many, "one2one": one2one}
+        strides = (
+            tuple(input_h // f.shape[1] for f in one2one) if input_h is not None else self.strides
+        )
+        y = decode_detections(one2one, strides, self.nc, self.reg_max)  # (B, N, 4+nc)
+        # NMS-free: top max_det by best class score (reference v10postprocess)
+        scores = jnp.max(y[..., 4:], axis=-1)
+        top_s, idx = jax.lax.top_k(scores, min(self.max_det, scores.shape[-1]))
+        boxes = jnp.take_along_axis(y[..., :4], idx[..., None], axis=1)
+        cls = jnp.argmax(jnp.take_along_axis(y[..., 4:], idx[..., None], axis=1), axis=-1)
+        det = jnp.concatenate(
+            [boxes, top_s[..., None], cls[..., None].astype(y.dtype)], axis=-1
+        )  # (B, max_det, 6) xywh px + conf + cls
+        return det, {"one2many": one2many, "one2one": one2one}
+
+
+@register
+class WorldDetect(nn.Module):
+    """Open-vocabulary head (reference head.py:279): the cls branch projects
+    into a text-embedding space and scores against per-class text features
+    (BNContrastiveHead). Text embeddings are an input (any encoder works —
+    the reference uses CLIP, unavailable offline)."""
+
+    nc: int = 80
+    embed: int = 512
+    with_bn: bool = True
+    ch: tuple = ()
+    strides: tuple = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, text_feats=None, train: bool = False, input_h: int | None = None):
+        """text_feats: (nc, embed) class text embeddings (L2-normalized)."""
+        if text_feats is None:
+            text_feats = self.param(
+                "default_text", nn.initializers.normal(0.02), (self.nc, self.embed), jnp.float32
+            )
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outputs = []
+        logit_scale = self.param("logit_scale", nn.initializers.constant(1.0), (), jnp.float32)
+        bias = self.param("cls_bias", nn.initializers.constant(-10.0), (), jnp.float32)
+        for i, x in enumerate(xs):
+            r = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            r = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(r, train)
+            r = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
+                        bias_init=nn.initializers.ones, name=f"cv2_{i}_2")(r)
+            e = Conv(c3, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            e = Conv(c3, 3, dtype=self.dtype, name=f"cv4_{i}_1")(e, train)
+            e = nn.Conv(self.embed, (1, 1), use_bias=True, dtype=self.dtype,
+                        name=f"cv4_{i}_2")(e)
+            if self.with_bn:
+                e = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                                 dtype=self.dtype, name=f"bn_{i}")(e)
+            e32 = e.astype(jnp.float32)
+            e32 = e32 / (jnp.linalg.norm(e32, axis=-1, keepdims=True) + 1e-9)
+            t = text_feats / (jnp.linalg.norm(text_feats, axis=-1, keepdims=True) + 1e-9)
+            logits = jnp.einsum("bhwe,ce->bhwc", e32, t) * jnp.exp(logit_scale) + bias
+            outputs.append(jnp.concatenate([r, logits.astype(r.dtype)], axis=-1))
+        if train:
+            return outputs
+        strides = (
+            tuple(input_h // f.shape[1] for f in outputs) if input_h is not None else self.strides
+        )
+        y = decode_detections(outputs, strides, self.nc, self.reg_max)
+        return y, outputs
+
+
 class Proto(nn.Module):
     """Mask prototype generator for segmentation (reference block.py Proto):
     Conv 3x3 -> learned 2x upsample -> Conv 3x3 -> 1x1 to nm channels."""
