@@ -142,7 +142,7 @@ class TestNMS:
         boxes_xyxy = random_boxes(n, seed=42)
         scores = r.uniform(0, 1, (n, nc)).astype(np.float32) ** 3
         pred = np.concatenate([np.asarray(xyxy2xywh(jnp.asarray(boxes_xyxy))), scores], -1)
-        det, cnt = non_max_suppression(
+        det, cnt, _ = non_max_suppression(
             jnp.asarray(pred[None]), conf_thres=0.25, iou_thres=0.45, max_det=200,
             max_nms=256, nc=nc,
         )
@@ -165,7 +165,7 @@ class TestNMS:
         pred = np.zeros((1, 10, 4 + 2), np.float32)
         pred[0, :, :4] = [50, 50, 10, 10]
         pred[0, 0, 4] = 0.9
-        det, cnt = non_max_suppression(jnp.asarray(pred), conf_thres=0.5, max_nms=16, max_det=5, nc=2)
+        det, cnt, _ = non_max_suppression(jnp.asarray(pred), conf_thres=0.5, max_nms=16, max_det=5, nc=2)
         assert int(cnt[0]) == 1
         assert float(det[0, 0, 4]) == pytest.approx(0.9, abs=1e-5)
         np.testing.assert_allclose(np.asarray(det[0, 1:]), 0.0)
@@ -175,7 +175,7 @@ class TestNMS:
         pred[0, 0, :4] = [50, 50, 10, 10]
         pred[0, 0, 4] = 0.9
         pred[0, 0, 5] = 0.8  # same box, second class above threshold
-        det, cnt = non_max_suppression(
+        det, cnt, _ = non_max_suppression(
             jnp.asarray(pred), conf_thres=0.5, max_nms=8, max_det=5, nc=2, multi_label=True
         )
         assert int(cnt[0]) == 2  # both classes survive (class-offset boxes don't overlap)

@@ -45,7 +45,7 @@ def collate(samples: list[dict], max_boxes: int) -> dict:
             mask[i, :n, 0] = 1.0
     if overflow:
         LOGGER.warning(f"collate: dropped {overflow} boxes over max_boxes={max_boxes}")
-    return {
+    out = {
         "img": img,
         "cls": cls,
         "bboxes": bboxes,
@@ -54,6 +54,18 @@ def collate(samples: list[dict], max_boxes: int) -> dict:
         "ratio_pad": [s["ratio_pad"] for s in samples],
         "im_file": [s["im_file"] for s in samples],
     }
+    if "segments" in samples[0]:
+        # overlap-encoded instance index masks at 1/4 resolution (proto size)
+        from yolo_ad_refine_tpu.train.segment import polygons_to_index_mask
+
+        mh, mw = h // 4, w // 4
+        masks = np.zeros((b, mh, mw), np.int32)
+        for i, s in enumerate(samples):
+            polys = [p / 4.0 for p in s["segments"][:max_boxes]]
+            if polys:
+                masks[i] = polygons_to_index_mask(polys, (mh, mw))
+        out["masks"] = masks
+    return out
 
 
 class DataLoader:

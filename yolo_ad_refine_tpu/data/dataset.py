@@ -70,12 +70,13 @@ class YOLODataset:
 
     def __init__(self, img_path: str | Path, imgsz: int = 640, augment: bool = False,
                  hyp: dict | None = None, max_boxes: int = 128, nc: int = 80,
-                 fraction: float = 1.0, cache: bool = True):
+                 fraction: float = 1.0, cache: bool = True, task: str = "detect"):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp or {}
         self.max_boxes = max_boxes
         self.nc = nc
+        self.task = task
         self.im_files = self._glob_images(img_path)
         if fraction < 1.0:
             self.im_files = self.im_files[: max(1, int(len(self.im_files) * fraction))]
@@ -115,16 +116,32 @@ class YOLODataset:
                     pass
         labels = []
         n_missing = 0
+        segment_task = getattr(self, "task", "detect") == "segment"
         for lf in self.label_files:
             rows = np.zeros((0, 5), np.float32)
+            segments: list = []
             if Path(lf).exists():
                 raw = [x.split() for x in Path(lf).read_text().splitlines() if x.strip()]
-                if raw:
+                if raw and segment_task and any(len(r) > 5 for r in raw):
+                    # segmentation rows: cls x1 y1 x2 y2 ... (normalized polygon)
+                    parsed = []
+                    for r in raw:
+                        vals = np.asarray(r, np.float32)
+                        poly = vals[1:].reshape(-1, 2).clip(0, 1)
+                        segments.append(poly)
+                        x1, y1 = poly.min(0)
+                        x2, y2 = poly.max(0)
+                        parsed.append([vals[0], (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+                    rows = np.asarray(parsed, np.float32)
+                elif raw:
                     rows = np.asarray(raw, dtype=np.float32)[:, :5]
                     rows[:, 1:] = rows[:, 1:].clip(0, 1)
             else:
                 n_missing += 1
-            labels.append({"cls": rows[:, 0], "xywhn": rows[:, 1:5]})
+            lab = {"cls": rows[:, 0], "xywhn": rows[:, 1:5]}
+            if segment_task:
+                lab["segments"] = segments
+            labels.append(lab)
         if n_missing:
             LOGGER.warning(f"{n_missing}/{len(self.im_files)} label files missing (treated as background)")
         if cache_path is not None:
@@ -176,6 +193,8 @@ class YOLODataset:
         hyp = self.hyp
         if mosaic is None:
             mosaic = self.mosaic_enabled and rng.random() < hyp.get("mosaic", 1.0)
+        if self.task == "segment":
+            return self._get_segment_sample(i, rng)
 
         if self.augment and mosaic:
             idxs = [i] + list(rng.integers(0, len(self), 3))
@@ -234,5 +253,37 @@ class YOLODataset:
             "cls": cls.astype(np.float32),
             "ori_shape": tuple(ori_shape),
             "ratio_pad": ratio_pad,
+            "im_file": self.im_files[i % len(self)],
+        }
+
+    def _get_segment_sample(self, i: int, rng: np.random.Generator):
+        """Segment-task sample: letterbox + flips, polygons transformed with
+        the boxes (mosaic/affine for segments lands with polygon warping)."""
+        img, _, cls, (h0, w0) = self.load_item(i, with_shape=True)
+        r1 = img.shape[0] / h0
+        h, w = img.shape[:2]
+        segments = [s * np.asarray([w, h], np.float32) for s in self.labels[i].get("segments", [])]
+        img, ratio, pad = A.letterbox(img, self.imgsz, scaleup=self.augment)
+        segments = [s * ratio[0] + np.asarray(pad, np.float32) for s in segments]
+        if self.augment:
+            img = np.ascontiguousarray(img)
+            A.augment_hsv(img, rng, self.hyp.get("hsv_h", 0.015), self.hyp.get("hsv_s", 0.7),
+                          self.hyp.get("hsv_v", 0.4))
+            if rng.random() < self.hyp.get("fliplr", 0.5):
+                img = np.ascontiguousarray(np.fliplr(img))
+                segments = [np.stack([img.shape[1] - s[:, 0], s[:, 1]], -1) for s in segments]
+        boxes = (
+            np.stack([
+                np.asarray([s[:, 0].min(), s[:, 1].min(), s[:, 0].max(), s[:, 1].max()])
+                for s in segments
+            ]) if segments else np.zeros((0, 4), np.float32)
+        )
+        return {
+            "img": np.ascontiguousarray(img),
+            "bboxes": boxes.astype(np.float32),
+            "cls": cls.astype(np.float32),
+            "segments": segments,
+            "ori_shape": (h0, w0),
+            "ratio_pad": ((ratio[0] * r1, ratio[1] * r1), pad),
             "im_file": self.im_files[i % len(self)],
         }

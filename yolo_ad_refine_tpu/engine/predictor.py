@@ -97,7 +97,7 @@ class DetectionPredictor:
                     [batch, np.zeros((batch_size - n_real, *batch.shape[1:]), batch.dtype)]
                 )
             t0 = time.perf_counter()
-            det, cnt = jax.device_get(forward_nms(jnp.asarray(batch)))
+            det, cnt, _ = jax.device_get(forward_nms(jnp.asarray(batch)))
             dt = (time.perf_counter() - t0) / max(n_real, 1) * 1000
 
             for j, (name, im0, ratio, pad) in enumerate(metas):

@@ -35,7 +35,7 @@ def track(model, source, tracker: str = "bytetrack", imgsz: int = 640, conf: flo
     def forward_nms(img):
         x = img.astype(model.dtype) / 255.0
         y, _ = model.graph.apply(variables, x, train=False)
-        return non_max_suppression(y, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc)
+        return non_max_suppression(y, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc)[:2]
 
     results = []
     for path, frame, meta in load_inference_source(source, vid_stride):

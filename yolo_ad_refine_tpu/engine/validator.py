@@ -72,11 +72,11 @@ class DetectionValidator:
         def forward_nms(vars_, img):
             img = img.astype(model.dtype) / 255.0
             y, feats = model.graph.apply(vars_, img, train=False)
-            det, cnt = non_max_suppression(
+            det, cnt, _extra = non_max_suppression(
                 y, conf_thres=float(conf), iou_thres=iou, max_det=max_det,
                 multi_label=True, nc=nc,
             )
-            return det, cnt, feats
+            return det, cnt, _extra, feats
 
         metrics = DetMetrics(names)
         confusion = ConfusionMatrix(nc)
@@ -89,7 +89,7 @@ class DetectionValidator:
             with profs["preprocess"]:
                 img = jnp.asarray(batch["img"])
             with profs["inference"]:
-                det, cnt, feats = forward_nms(variables, img)
+                det, cnt, _, feats = forward_nms(variables, img)
                 if loss_fn is not None:
                     out = loss_fn(feats, jnp.asarray(batch["cls"]), jnp.asarray(batch["bboxes"]),
                                   jnp.asarray(batch["mask"]))

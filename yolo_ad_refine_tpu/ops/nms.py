@@ -51,8 +51,10 @@ def _suppress(boxes, scores, iou_thres, conf_thres):
     return keep
 
 
-def _nms_single(pred, conf_thres, iou_thres, max_det, max_nms, max_wh, multi_label, agnostic, nc):
-    """NMS for one image. pred: (N, 4+nc) with xywh + per-class scores."""
+def _nms_single(pred, extra, conf_thres, iou_thres, max_det, max_nms, max_wh, multi_label,
+                agnostic, nc):
+    """NMS for one image. pred: (N, 4+nc) with xywh + per-class scores;
+    extra: (N, E) per-anchor features carried through (mask coeffs, angles)."""
     boxes_xywh = pred[:, :4]
     scores_all = pred[:, 4 : 4 + nc]  # (N, nc)
     n = scores_all.shape[0]
@@ -82,7 +84,11 @@ def _nms_single(pred, conf_thres, iou_thres, max_det, max_nms, max_wh, multi_lab
     dst = jnp.where(keep & (rank < max_det), rank, max_det)
     out = jnp.zeros((max_det + 1, 6), dtype=rows.dtype).at[dst].set(rows, mode="drop")[:max_det]
     n_valid = jnp.minimum(jnp.sum(keep), max_det).astype(jnp.int32)
-    return out, n_valid
+    extra_rows = extra[anchor_idx]  # (K, E)
+    extra_out = jnp.zeros((max_det + 1, extra.shape[-1]), dtype=extra.dtype).at[dst].set(
+        extra_rows, mode="drop"
+    )[:max_det]
+    return out, n_valid, extra_out
 
 
 @partial(
@@ -103,14 +109,19 @@ def non_max_suppression(
     """Batched fixed-shape NMS.
 
     Args:
-        prediction: (B, N, 4+nc) — xywh boxes + sigmoided class scores
+        prediction: (B, N, 4+nc[+E]) — xywh boxes + sigmoided class scores
             (channels-last; the transpose of the reference's (B, 4+nc, N)).
+            Columns beyond 4+nc (mask coefficients, angles) are carried
+            through and returned gathered per detection.
 
     Returns:
         detections: (B, max_det, 6) rows of (x1, y1, x2, y2, conf, cls);
             rows beyond the per-image count are zero.
         counts: (B,) int32 number of valid detections per image.
+        extras: (B, max_det, E) carried columns (E=0 when none given).
     """
+    pred = prediction[..., : 4 + nc]
+    extra = prediction[..., 4 + nc :]
     fn = partial(
         _nms_single,
         conf_thres=conf_thres,
@@ -122,4 +133,5 @@ def non_max_suppression(
         agnostic=agnostic,
         nc=nc,
     )
-    return jax.vmap(fn)(prediction)
+    det, cnt, extras = jax.vmap(fn)(pred, extra)
+    return det, cnt, extras
