@@ -82,6 +82,57 @@ def wasserstein_similarity(pred, target, eps: float = 1e-7, constant: float = 12
     return jnp.exp(-jnp.sqrt(center_d + wh_d) / constant)
 
 
+def _obb_covariance(obb):
+    """Gaussian covariance terms (a, b, c) of xywhr boxes
+    (reference metrics.py _get_covariance_matrix)."""
+    w = obb[..., 2]
+    h = obb[..., 3]
+    r = obb[..., 4]
+    a = (w**2) / 12.0
+    b = (h**2) / 12.0
+    cos = jnp.cos(r)
+    sin = jnp.sin(r)
+    return (
+        a * cos**2 + b * sin**2,
+        a * sin**2 + b * cos**2,
+        (a - b) * cos * sin,
+    )
+
+
+def probiou(obb1, obb2, CIoU: bool = False, eps: float = 1e-7):
+    """Probabilistic IoU between oriented boxes xywhr (reference metrics.py:804,
+    arXiv:2106.06072): 1 - Hellinger distance of the box Gaussians."""
+    x1, y1 = obb1[..., 0], obb1[..., 1]
+    x2, y2 = obb2[..., 0], obb2[..., 1]
+    a1, b1, c1 = _obb_covariance(obb1)
+    a2, b2, c2 = _obb_covariance(obb2)
+
+    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
+    t3 = 0.5 * jnp.log(
+        ((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
+        / (4 * jnp.sqrt(jnp.clip(a1 * b1 - c1**2, 0, None)
+                        * jnp.clip(a2 * b2 - c2**2, 0, None)) + eps)
+        + eps
+    )
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    iou = 1.0 - hd
+    if CIoU:
+        w1, h1 = obb1[..., 2], obb1[..., 3]
+        w2, h2 = obb2[..., 2], obb2[..., 3]
+        v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+        alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+        return iou - v * alpha
+    return iou
+
+
+def batch_probiou(obb1, obb2, eps: float = 1e-7):
+    """Pairwise probiou (N,5) x (M,5) -> (N,M) (reference metrics.py batch_probiou)."""
+    return probiou(obb1[:, None, :], obb2[None, :, :], eps=eps)
+
+
 def box_iou(box1, box2, eps: float = 1e-7):
     """Pairwise IoU matrix between (N, 4) and (M, 4) xyxy boxes -> (N, M)."""
     a1 = box1[:, None, :2]  # (N,1,2)

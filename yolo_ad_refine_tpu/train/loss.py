@@ -73,7 +73,7 @@ class DetectionLoss:
 
     def __init__(self, nc: int, strides, reg_max: int = 16, tal_topk: int = 10,
                  box_gain: float = 7.5, cls_gain: float = 0.5, dfl_gain: float = 1.5,
-                 nwd_ratio: float = 0.5, use_slide_loss: bool = True):
+                 nwd_ratio: float = 0.5, use_slide_loss: bool = True, assigner: str = "tal"):
         self.nc = nc
         self.strides = tuple(strides)
         self.reg_max = reg_max
@@ -81,7 +81,14 @@ class DetectionLoss:
         self.gains = (box_gain, cls_gain, dfl_gain)
         self.nwd_ratio = nwd_ratio
         self.use_slide_loss = use_slide_loss
+        self.assigner_kind = assigner
         self.assigner = TaskAlignedAssigner(topk=tal_topk, num_classes=nc, alpha=0.5, beta=6.0)
+        if assigner == "atss":
+            from yolo_ad_refine_tpu.train.atss import ATSSAssigner
+
+            self.atss = ATSSAssigner(topk=9, num_classes=nc)
+        elif assigner != "tal":
+            raise ValueError(f"assigner must be 'tal' or 'atss', got {assigner}")
 
     def __call__(self, feats, gt_labels, gt_bboxes, mask_gt) -> LossOutputs:
         """
@@ -112,14 +119,23 @@ class DetectionLoss:
         gt_bboxes = gt_bboxes.astype(jnp.float32)
         mask_gt = mask_gt.astype(jnp.float32)
 
-        assign = self.assigner(
-            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
-            jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
-            anchor_points * stride_tensor,
-            gt_labels,
-            gt_bboxes,
-            mask_gt,
-        )
+        if self.assigner_kind == "atss":
+            from yolo_ad_refine_tpu.train.atss import generate_cell_anchors
+
+            cell_anchors, counts = generate_cell_anchors(shapes, self.strides)
+            assign = self.atss(
+                cell_anchors, counts, gt_labels, gt_bboxes, mask_gt,
+                jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
+            )
+        else:
+            assign = self.assigner(
+                jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+                jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
+                anchor_points * stride_tensor,
+                gt_labels,
+                gt_bboxes,
+                mask_gt,
+            )
         target_bboxes, target_scores, fg_mask = assign.target_bboxes, assign.target_scores, assign.fg_mask
         target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
 
