@@ -72,6 +72,23 @@ class TestSegDataset:
         assert m[14, 14] == 0
 
 
+class TestSegValidator:
+    def test_mask_map_runs(self, seg_dataset):
+        from yolo_ad_refine_tpu.engine.validator import DetectionValidator
+        from yolo_ad_refine_tpu.models.model import build_detection_model
+
+        m = build_detection_model(TINY_SEG, nc=2, imgsz=64)
+        v = DetectionValidator(args={
+            "data": {"path": str(seg_dataset), "train": "images", "val": "images",
+                     "names": {0: "a", 1: "b"}},
+            "imgsz": 64, "batch": 2, "max_boxes": 8, "task": "segment",
+        })
+        results = v(model=m)
+        assert "metrics/mAP50(M)" in results
+        assert 0.0 <= results["metrics/mAP50(M)"] <= 1.0
+        assert "metrics/mAP50(B)" in results
+
+
 class TestSegLoss:
     def test_finite_and_grads(self, seg_dataset):
         from yolo_ad_refine_tpu.data import DataLoader, YOLODataset

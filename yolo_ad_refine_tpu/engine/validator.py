@@ -46,7 +46,8 @@ class DetectionValidator:
         split = self.args.get("split", "val")
         path = info.get(split) or info.get("val") or info.get("train")
         ds = YOLODataset(path, imgsz=imgsz, augment=False, nc=info["nc"],
-                         max_boxes=int(self.args.get("max_boxes", 128)))
+                         max_boxes=int(self.args.get("max_boxes", 128)),
+                         task=self.args.get("task", "detect"))
         self.names = info["names"]
         return DataLoader(ds, batch_size=batch, shuffle=False)
 
@@ -68,6 +69,8 @@ class DetectionValidator:
 
         variables = variables if variables is not None else model.variables
 
+        segment = self.args.get("task") == "segment"
+
         @partial(jax.jit, static_argnames=())
         def forward_nms(vars_, img):
             img = img.astype(model.dtype) / 255.0
@@ -78,7 +81,20 @@ class DetectionValidator:
             )
             return det, cnt, _extra, feats
 
+        mask_iou_fn = None
+        if segment:
+            from yolo_ad_refine_tpu.ops.masks import mask_iou_matrix
+
+            max_gt = int(self.args.get("max_boxes", 128))
+
+            @jax.jit
+            def mask_iou_fn(protos, extras, dets, gt_masks):  # noqa: F811
+                return jax.vmap(
+                    lambda p, e, d, g: mask_iou_matrix(p, e, d[:, :4], (imgsz, imgsz), g, max_gt)
+                )(protos, extras, dets, gt_masks)
+
         metrics = DetMetrics(names)
+        seg_metrics = DetMetrics(names) if segment else None
         confusion = ConfusionMatrix(nc)
         loss_sum = np.zeros(3)
         n_batches = 0
@@ -89,19 +105,34 @@ class DetectionValidator:
             with profs["preprocess"]:
                 img = jnp.asarray(batch["img"])
             with profs["inference"]:
-                det, cnt, _, feats = forward_nms(variables, img)
+                det, cnt, extras, feats = forward_nms(variables, img)
+                mask_ious = None
+                if segment:
+                    proto = feats[2] if isinstance(feats, tuple) else None
+                    mask_ious = np.asarray(jax.device_get(
+                        mask_iou_fn(proto, extras, det, jnp.asarray(batch["masks"]))
+                    ))
+                    feats_for_loss = feats[0] if isinstance(feats, tuple) else feats
+                else:
+                    feats_for_loss = feats
                 if loss_fn is not None:
-                    out = loss_fn(feats, jnp.asarray(batch["cls"]), jnp.asarray(batch["bboxes"]),
-                                  jnp.asarray(batch["mask"]))
+                    out = loss_fn(feats_for_loss, jnp.asarray(batch["cls"]),
+                                  jnp.asarray(batch["bboxes"]), jnp.asarray(batch["mask"]))
                     loss_sum += np.asarray(out.components)
                     n_batches += 1
                 det = np.asarray(jax.device_get(det))
                 cnt = np.asarray(jax.device_get(cnt))
             with profs["postprocess"]:
-                self._update_metrics(det, cnt, batch, metrics, confusion, imgsz)
+                self._update_metrics(det, cnt, batch, metrics, confusion, imgsz,
+                                     seg_metrics=seg_metrics, mask_ious=mask_ious)
             seen += len(batch["im_file"])
 
         results = metrics.process()
+        if seg_metrics is not None:
+            seg_results = seg_metrics.process()
+            results["metrics/mAP50(M)"] = seg_results["metrics/mAP50(B)"]
+            results["metrics/mAP50-95(M)"] = seg_results["metrics/mAP50-95(B)"]
+            self.seg_metrics = seg_metrics
         self.metrics = metrics
         self.confusion_matrix = confusion
         if n_batches:
@@ -129,7 +160,8 @@ class DetectionValidator:
 
     # -- per-batch metric update ----------------------------------------------
     def _update_metrics(self, det, cnt, batch, metrics: DetMetrics,
-                        confusion: ConfusionMatrix, imgsz: int):
+                        confusion: ConfusionMatrix, imgsz: int,
+                        seg_metrics: DetMetrics | None = None, mask_ious=None):
         for i in range(det.shape[0]):
             n = int(cnt[i])
             d = det[i, :n].copy()  # (n, 6) in letterboxed coords
@@ -156,6 +188,10 @@ class DetectionValidator:
                     metrics.update_stats(
                         np.zeros((0, 10), bool), np.zeros(0), np.zeros(0), gt_cls
                     )
+                    if seg_metrics is not None:
+                        seg_metrics.update_stats(
+                            np.zeros((0, 10), bool), np.zeros(0), np.zeros(0), gt_cls
+                        )
                     confusion.process_batch(None, gt_boxes, gt_cls)
                 continue
             if len(gt_cls):
@@ -164,6 +200,12 @@ class DetectionValidator:
             else:
                 tp = np.zeros((n, 10), bool)
             metrics.update_stats(tp, d[:, 4], d[:, 5], gt_cls)
+            if seg_metrics is not None:
+                n_gt = len(gt_cls)
+                miou = mask_ious[i][:n_gt, :n] if n_gt else np.zeros((0, n))
+                tp_m = (match_predictions(d[:, 5], gt_cls, miou) if n_gt
+                        else np.zeros((n, 10), bool))
+                seg_metrics.update_stats(tp_m, d[:, 4], d[:, 5], gt_cls)
             confusion.process_batch(d, gt_boxes, gt_cls)
 
     def _print_results(self, metrics: DetMetrics, seen: int, names: dict):

@@ -23,6 +23,28 @@ def crop_mask(masks, boxes):
     return masks * inside.astype(masks.dtype)
 
 
+def mask_iou_matrix(proto, coeffs, boxes_xyxy, img_hw, gt_index_mask, max_gt: int):
+    """Per-image mask IoU between predicted and GT instance masks, computed
+    at prototype resolution without materializing the full batch of masks.
+
+    Args:
+        proto: (mh, mw, nm); coeffs: (K, nm); boxes_xyxy: (K, 4) input px.
+        gt_index_mask: (mh, mw) int32 overlap-encoded GT instances.
+        max_gt: static number of GT rows.
+
+    Returns (max_gt, K) IoU matrix.
+    """
+    mh, mw, _ = proto.shape
+    pred = process_mask(proto, coeffs, boxes_xyxy, img_hw, upsample=False) > 0.5  # (K, mh, mw)
+    pred_f = pred.reshape(pred.shape[0], -1).astype(jnp.float32)  # (K, P)
+    gt = (
+        gt_index_mask[None] == (jnp.arange(1, max_gt + 1, dtype=jnp.int32)[:, None, None])
+    ).reshape(max_gt, -1).astype(jnp.float32)  # (G, P)
+    inter = gt @ pred_f.T  # (G, K)
+    union = gt.sum(-1, keepdims=True) + pred_f.sum(-1)[None] - inter
+    return inter / (union + 1e-7)
+
+
 def process_mask(proto, coeffs, boxes_xyxy, img_hw, upsample: bool = True):
     """Build binary masks for detections (reference ops.py process_mask).
 
