@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from yolo_ad_refine_tpu.data.augment import letterbox
-from yolo_ad_refine_tpu.data.dataset import IMG_FORMATS
 from yolo_ad_refine_tpu.engine.results import Results
 from yolo_ad_refine_tpu.ops.boxes import scale_boxes
 from yolo_ad_refine_tpu.ops.nms import non_max_suppression

@@ -15,7 +15,7 @@ matching/AP run in numpy exactly like the reference.
 
 from __future__ import annotations
 
-import time
+
 from functools import partial
 from pathlib import Path
 

@@ -23,7 +23,6 @@ import numpy as np
 from flax import linen as nn
 
 from yolo_ad_refine_tpu.models.parser import LayerSpec, load_model_cfg, parse_model_yaml
-from yolo_ad_refine_tpu.nn.head import decode_detections
 from yolo_ad_refine_tpu.utils import LOGGER
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from yolo_ad_refine_tpu.nn.common import Conv, max_pool_same, silu
+from yolo_ad_refine_tpu.nn.common import Conv, max_pool_same
 from yolo_ad_refine_tpu.nn.registry import register
 
 Dtype = Any

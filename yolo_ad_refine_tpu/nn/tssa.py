@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolo_ad_refine_tpu.nn.block import C2PSA, adaptive_avg_pool2d
-from yolo_ad_refine_tpu.nn.common import Conv, conv2d
+from yolo_ad_refine_tpu.nn.common import conv2d
 from yolo_ad_refine_tpu.nn.registry import register
 
 Dtype = Any

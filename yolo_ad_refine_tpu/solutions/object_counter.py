@@ -6,7 +6,7 @@ crossings of a line (or entries into a polygon region) per track id.
 
 from __future__ import annotations
 
-import numpy as np
+
 
 
 def _side_of_line(p, a, b) -> float:

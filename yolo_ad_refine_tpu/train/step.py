@@ -11,7 +11,7 @@ psum during autodiff (see parallel/).
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any
 
 import jax

@@ -10,7 +10,7 @@ registered as no-op import-guarded hooks — zero-egress environment.
 from __future__ import annotations
 
 from collections import defaultdict
-from copy import deepcopy
+
 
 from yolo_ad_refine_tpu.utils import LOGGER
 
