@@ -116,7 +116,7 @@ class DetectionModel:
 
     def probe_strides(self, imgsz: int = 640):
         """Static stride derivation via shape-only tracing (no FLOPs)."""
-        if self.head_spec is None or self.head_spec.name == "Classify":
+        if self.head_spec is None or self.head_spec.name in ("Classify", "RTDETRDecoder"):
             return None
         dummy = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), self.dtype)
 

@@ -32,12 +32,13 @@ import jax.numpy as jnp
 from yolo_ad_refine_tpu.nn import block as B
 from yolo_ad_refine_tpu.nn import common as C
 from yolo_ad_refine_tpu.nn import head as H
+from yolo_ad_refine_tpu.nn import transformer as TR
 from yolo_ad_refine_tpu.nn import tssa as T
 from yolo_ad_refine_tpu.nn.common import make_divisible
 from yolo_ad_refine_tpu.utils import LOGGER, colorstr, yaml_load
 
 HEAD_MODULES = {"Detect", "AYHead", "AYHead1", "Classify", "Segment", "Pose", "OBB",
-                "v10Detect", "WorldDetect"}
+                "v10Detect", "WorldDetect", "RTDETRDecoder"}
 # modules whose first yaml arg is an out-channel subject to width scaling
 WIDTH_SCALED = {
     "Conv", "DWConv", "SPPF", "C2f", "C3", "C3k2", "C2PSA",
@@ -149,11 +150,22 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             rest = args[1:]
-            if name in ("Conv", "DWConv"):
+            if name == "Conv":
+                # full torch signature: (c2, k, s, p, g, d, act)
                 k = rest[0] if rest else 1
                 s = rest[1] if len(rest) > 1 else 1
-                cls = C.Conv if name == "Conv" else C.DWConv
-                module = cls(c2, k, s, dtype=dtype)
+                p = rest[2] if len(rest) > 2 else None
+                g = rest[3] if len(rest) > 3 else 1
+                d_ = rest[4] if len(rest) > 4 else 1
+                act = rest[5] if len(rest) > 5 else True
+                module = C.Conv(c2, k, s, p=p, g=g, d=d_, act=act, dtype=dtype)
+            elif name == "DWConv":
+                # torch signature: (c2, k, s, d, act)
+                k = rest[0] if rest else 1
+                s = rest[1] if len(rest) > 1 else 1
+                d_ = rest[2] if len(rest) > 2 else 1
+                act = rest[3] if len(rest) > 3 else True
+                module = C.DWConv(c2, k, s, d=d_, act=act, dtype=dtype)
             elif name == "SPPF":
                 module = B.SPPF(c2, rest[0] if rest else 5, dtype=dtype)
             elif name in ("C2f", "C3"):
@@ -191,6 +203,33 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
                 op = rest[3] if len(rest) > 3 else 1
                 module = C.PlainConvTranspose2d(c2, k, s, p, op, dtype=dtype)
             del c1
+        elif name == "HGStem":
+            c2 = args[1]
+            module = B.HGStem(cm=args[0], c2=c2, dtype=dtype)
+        elif name == "HGBlock":
+            # yaml: [cm, c2, k, lightconv, shortcut]; repeats -> inner n
+            cm, c2 = args[0], args[1]
+            k = args[2] if len(args) > 2 else 3
+            light = args[3] if len(args) > 3 else False
+            shortcut = args[4] if len(args) > 4 else False
+            module = B.HGBlock(cm=cm, c2=c2, k=k, n=n, lightconv=light, shortcut=shortcut,
+                               dtype=dtype)
+            n = 1
+        elif name == "RepC3":
+            c2 = args[0]
+            e = args[1] if len(args) > 1 else 1.0
+            module = B.RepC3(c2=c2, n=n, e=e, dtype=dtype)
+            n = 1
+        elif name == "AIFI":
+            c2 = ch_list[f]
+            cm = args[0] if args else 2048
+            nh = args[1] if len(args) > 1 else 8
+            module = TR.AIFI(cm=cm, num_heads=nh, dtype=dtype)
+        elif name == "RTDETRDecoder":
+            head_ch = tuple(ch_list[x] for x in f)
+            head_nc = args[0] if args else nc
+            module = TR.RTDETRDecoder(nc=head_nc, ch=head_ch, dtype=dtype)
+            c2 = 0
         elif name == "ELA_HSFPN":
             c2 = ch_list[f]
             flag = args[0] if args else True

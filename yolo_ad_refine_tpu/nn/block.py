@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from yolo_ad_refine_tpu.nn.common import Conv, max_pool_same
+from yolo_ad_refine_tpu.nn.common import Conv, max_pool_same, silu
 from yolo_ad_refine_tpu.nn.registry import register
 
 Dtype = Any
@@ -212,6 +212,120 @@ class C2PSA(nn.Module):
         for i in range(self.n):
             b = self.inner_block(c, i)(b, train)
         return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], axis=-1), train)
+
+
+# ---------------------------------------------------------------------------
+# PPHGNetV2 blocks + RepConv family (RT-DETR backbone/neck; reference
+# block.py:105 HGStem, :136 HGBlock, :283 RepC3; conv.py:83 LightConv,
+# :173 RepConv)
+# ---------------------------------------------------------------------------
+
+
+@register
+class HGStem(nn.Module):
+    """PPHGNetV2 stem: 5 convs + stride-1 maxpool with ceil padding."""
+
+    cm: int
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        relu = nn.relu
+        x = Conv(self.cm, 3, 2, act=relu, dtype=self.dtype, name="stem1")(x, train)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = Conv(self.cm // 2, 2, 1, p=0, act=relu, dtype=self.dtype, name="stem2a")(x, train)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = Conv(self.cm, 2, 1, p=0, act=relu, dtype=self.dtype, name="stem2b")(x2, train)
+        x1 = nn.max_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = Conv(self.cm, 3, 2, act=relu, dtype=self.dtype, name="stem3")(x, train)
+        return Conv(self.c2, 1, 1, act=relu, dtype=self.dtype, name="stem4")(x, train)
+
+
+class LightConv(nn.Module):
+    """1x1 conv (no act) + depthwise conv (reference conv.py:83)."""
+
+    c2: int
+    k: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, train)
+        return Conv(self.c2, self.k, g=self.c2, act=nn.relu, dtype=self.dtype, name="conv2")(y, train)
+
+
+@register
+class HGBlock(nn.Module):
+    """PPHGNetV2 block: n chained (Light)Convs + squeeze/excite 1x1s."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        relu = nn.relu
+        ys = [x]
+        for i in range(self.n):
+            if self.lightconv:
+                ys.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+            else:
+                ys.append(Conv(self.cm, self.k, act=relu, dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+        y = Conv(self.c2 // 2, 1, 1, act=relu, dtype=self.dtype, name="sc")(
+            jnp.concatenate(ys, axis=-1), train
+        )
+        y = Conv(self.c2, 1, 1, act=relu, dtype=self.dtype, name="ec")(y, train)
+        return y + x if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class RepConv(nn.Module):
+    """Train-form RepVGG conv: 3x3+BN and 1x1+BN branches summed then SiLU
+    (reference conv.py:173 with its default bn=False — no identity-BN branch;
+    deploy-time fusion is an export concern: XLA fuses at compile)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    identity_bn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y1 = Conv(self.c2, self.k, self.s, act=False, dtype=self.dtype, name="conv1")(x, train)
+        y2 = Conv(self.c2, 1, self.s, act=False, dtype=self.dtype, name="conv2")(x, train)
+        y = y1 + y2
+        if self.identity_bn and x.shape[-1] == self.c2 and self.s == 1:
+            y = y + nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                                 dtype=self.dtype, name="bn")(x)
+        return silu(y)
+
+
+@register
+class RepC3(nn.Module):
+    """Rep C3 (reference block.py:283): RepConv stack + parallel 1x1, summed."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            a = RepConv(c_, dtype=self.dtype, name=f"m{i}")(a, train)
+        b = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = a + b
+        if c_ != self.c2:
+            y = Conv(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+        return y
 
 
 # ---------------------------------------------------------------------------
