@@ -79,6 +79,9 @@ class TestTrainer:
         assert (save / "weights" / "last" / "weights.msgpack").exists()
         csv = (save / "results.csv").read_text().splitlines()
         assert len(csv) == 3  # header + 2 epochs
+        # the returned model must be usable after training (donation safety)
+        y, _ = trainer.model(jnp.zeros((1, 64, 64, 3)), train=False)
+        assert np.isfinite(np.asarray(y)).all()
 
     def test_checkpoint_roundtrip(self, toy_dataset, tmp_path):
         from yolo_ad_refine_tpu.engine.checkpoint import load_checkpoint, save_checkpoint

@@ -21,6 +21,8 @@ the gather formulation is already fusion-friendly and fp32-accumulated.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -77,6 +79,55 @@ def _bilinear_sample(x_flat, coords_y, coords_x, h: int, w: int):
 
     weights = (wy[:, :, :, None] * wx[:, :, None, :]).astype(x_flat.dtype)  # (B, N, 2, 2)
     return jnp.einsum("bnyx,bnyxc->bnc", weights, blocks)
+
+
+def modulated_deform_conv2d_dense(x, offset, mask, weight, bias=None, k: int = 3,
+                                  max_offset: float = 3.0):
+    """Bounded-offset DCNv2 with a fully DENSE formulation (training path).
+
+    XLA's gather has a scatter-add adjoint that serializes on TPU (measured
+    seconds per step), so for training the learned offsets are clipped to
+    ±max_offset and bilinear sampling becomes separable hat-weighted sums of
+    statically-shifted slices: no gather anywhere, dense VPU forward AND
+    backward. Identical to the exact kernel whenever |offset| <= max_offset
+    (the alignment-head regime); inference uses the exact gather kernel.
+
+    x (B,H,W,C), offset (B,H,W,2*k*k), mask (B,H,W,k*k), weight (k,k,C,Cout).
+    """
+    b, h, w, c = x.shape
+    kk = k * k
+    cout = weight.shape[-1]
+    pad = k // 2
+    r = int(math.ceil(max_offset))
+    margin = pad + r + 1  # tap reach + offset bound + bilinear corner
+
+    offset = jnp.clip(offset.astype(jnp.float32), -max_offset, max_offset)
+    offset = offset.reshape(b, h, w, kk, 2)
+    mask = mask.astype(jnp.float32).reshape(b, h, w, kk)
+
+    xp = jnp.pad(x, ((0, 0), (margin, margin), (margin, margin), (0, 0)))
+    shifts = range(-r, r + 2)  # integer corner positions around each tap
+    out = jnp.zeros((b, h, w, cout), jnp.float32)
+    for t in range(kk):
+        ky, kx = divmod(t, k)
+        dy = offset[..., t, 0]  # (B,H,W) fractional offsets
+        dx = offset[..., t, 1]
+        sampled = jnp.zeros((b, h, w, c), jnp.float32)
+        for u in shifts:
+            wy = jnp.clip(1.0 - jnp.abs(dy - u), 0.0, None)  # hat weight (B,H,W)
+            ys = margin + (ky - pad) + u
+            for v in shifts:
+                wx = jnp.clip(1.0 - jnp.abs(dx - v), 0.0, None)
+                w_uv = wy * wx
+                xs = margin + (kx - pad) + v
+                window = jax.lax.dynamic_slice(xp, (0, ys, xs, 0), (b, h, w, c))
+                sampled = sampled + w_uv[..., None] * window.astype(jnp.float32)
+        sampled = sampled * mask[..., t : t + 1]
+        out = out + jnp.einsum("bhwc,co->bhwo", sampled.astype(x.dtype),
+                               weight[ky, kx], preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def modulated_deform_conv2d(x, offset, mask, weight, bias=None, k: int = 3):

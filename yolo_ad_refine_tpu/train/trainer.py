@@ -262,6 +262,13 @@ class DetectionTrainer:
             if self.stopper(epoch, fitness):
                 break
 
+        # the train step donates the state buffers, which alias the model's
+        # original variables — refresh the model with the final EMA weights
+        # so the returned model is usable (and matches best.pt semantics)
+        self.model.variables = jax.device_get(self.state.ema_variables)
+        self.model.variables = jax.tree.map(jnp.asarray, self.model.variables)
+        self.model.names = self.data["names"]
+
         if self.args.get("plots", True):
             plot_results(self.csv)
         # final eval of best.pt (reference trainer.py:670-684 final_eval)
