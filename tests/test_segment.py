@@ -117,3 +117,22 @@ class TestSegLoss:
         assert np.asarray(comps)[1] > 0  # seg component present
         gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
         assert np.isfinite(gsum) and gsum > 0
+
+
+class TestSegTrainer:
+    def test_segment_training_e2e(self, seg_dataset, tmp_path):
+        """Full segment training loop: seg loss wired through the trainer,
+        mask mAP in validation, checkpoints saved."""
+        from yolo_ad_refine_tpu.train.trainer import DetectionTrainer
+
+        trainer = DetectionTrainer(overrides={
+            "model": TINY_SEG,
+            "data": {"path": str(seg_dataset), "train": "images", "val": "images",
+                     "names": {0: "a", 1: "b"}},
+            "task": "segment", "epochs": 2, "batch": 2, "imgsz": 64, "max_boxes": 8,
+            "project": str(tmp_path), "name": "seg", "close_mosaic": 0,
+            "warmup_epochs": 0.0, "optimizer": "SGD", "plots": False, "workers": 2,
+        })
+        results = trainer.train()
+        assert "metrics/mAP50(M)" in results
+        assert (tmp_path / "seg" / "weights" / "last" / "weights.msgpack").exists()

@@ -60,13 +60,14 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
 def make_parallel_train_step(train_step, mesh: Mesh, axis: str = "data"):
     """Jit the train step with state replicated and batch data-sharded.
 
-    donate state so params update in place (halves peak HBM).
+    Batch shardings are taken from the arguments themselves (placed by
+    shard_batch), so any batch schema (detect, segment masks, pose keypoints)
+    works. State is donated so params update in place (halves peak HBM).
     """
     repl = replicated(mesh)
-    data = batch_sharding(mesh, axis)
     return jax.jit(
         train_step,
-        in_shardings=(repl, jax.tree.map(lambda _: data, {"img": 0, "cls": 0, "bboxes": 0, "mask": 0}), repl),
+        in_shardings=(repl, None, None),  # None = respect the args' shardings
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

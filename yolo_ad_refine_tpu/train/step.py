@@ -58,11 +58,13 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999,
-                    ema_tau: float = 2000.0):
+                    ema_tau: float = 2000.0, extra_loss_keys: tuple = ()):
     """Build the pure train_step(state, batch, rng) -> (state, metrics).
 
     batch = {'img': (B,H,W,3) float in [0,1] or uint8, 'cls': (B,N,1),
-             'bboxes': (B,N,4) xyxy px, 'mask': (B,N,1)}.
+             'bboxes': (B,N,4) xyxy px, 'mask': (B,N,1), *extra_loss_keys}.
+    extra_loss_keys (e.g. ('masks',) for segment, ('keypoints',) for pose)
+    are passed positionally to the loss after the standard targets.
     """
 
     def loss_and_updates(params, batch_stats, batch, rng):
@@ -73,7 +75,8 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
             {"params": params, "batch_stats": batch_stats},
             img, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
         )
-        out = loss_fn(feats, batch["cls"], batch["bboxes"], batch["mask"])
+        extras = tuple(batch[k] for k in extra_loss_keys)
+        out = loss_fn(feats, batch["cls"], batch["bboxes"], batch["mask"], *extras)
         return out.total, (out.components, mutated.get("batch_stats", batch_stats))
 
     def train_step(state: TrainState, batch, rng):
@@ -99,8 +102,9 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
             step=state.step + 1,
             ema_updates=new_ema_updates,
         )
-        metrics = {"loss": total, "box_loss": components[0], "cls_loss": components[1],
-                   "dfl_loss": components[2]}
+        metrics = {"loss": total, "components": components,
+                   "box_loss": components[0], "cls_loss": components[-2],
+                   "dfl_loss": components[-1]}
         return new_state, metrics
 
     return train_step

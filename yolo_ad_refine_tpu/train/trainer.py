@@ -123,9 +123,10 @@ class DetectionTrainer:
             "hsv_h", "hsv_s", "hsv_v", "degrees", "translate", "scale", "shear",
             "perspective", "flipud", "fliplr", "mosaic", "mixup", "copy_paste")}
         max_boxes = int(args.get("max_boxes", 128))
+        self.task = args.get("task", "detect")
         train_ds = YOLODataset(data["train"], imgsz=self.imgsz, augment=True, hyp=hyp,
                                nc=data["nc"], max_boxes=max_boxes,
-                               fraction=float(args.get("fraction", 1.0)))
+                               fraction=float(args.get("fraction", 1.0)), task=self.task)
         self.train_loader = DataLoader(train_ds, batch_size=self.batch_size, shuffle=True,
                                        seed=int(args.get("seed", 0)), drop_last=True)
         self.nb = max(len(self.train_loader), 1)
@@ -140,10 +141,19 @@ class DetectionTrainer:
             self.model = DetectionModel(self.model.yaml, nc=data["nc"], dtype=self.model.dtype)
             self.model.init(jax.random.PRNGKey(int(args.get("seed", 0))), imgsz=self.imgsz)
 
-        self.loss_fn = DetectionLoss(
-            nc=data["nc"], strides=self.model.strides,
-            box_gain=float(args["box"]), cls_gain=float(args["cls"]), dfl_gain=float(args["dfl"]),
-        )
+        gains = dict(box_gain=float(args["box"]), cls_gain=float(args["cls"]),
+                     dfl_gain=float(args["dfl"]))
+        if self.task == "segment":
+            from yolo_ad_refine_tpu.train.segment import SegmentationLoss
+
+            self.loss_fn = SegmentationLoss(nc=data["nc"], strides=self.model.strides, **gains)
+            self.extra_loss_keys = ("masks",)
+            # the val-loss path uses the detection components of the seg loss
+            self.val_loss_fn = self.loss_fn.det
+        else:
+            self.loss_fn = DetectionLoss(nc=data["nc"], strides=self.model.strides, **gains)
+            self.extra_loss_keys = ()
+            self.val_loss_fn = self.loss_fn
         tx, accumulate, self.lr_fns = build_optimizer(
             self.model.variables["params"],
             optimizer=args.get("optimizer", "auto"), lr0=float(args["lr0"]),
@@ -177,17 +187,19 @@ class DetectionTrainer:
                         f"(best fitness {self.best_fitness:.4f})")
 
         self.mesh = make_mesh_for_batch(self.batch_size)
-        step = make_train_step(self.model.graph, self.loss_fn, tx)
+        step = make_train_step(self.model.graph, self.loss_fn, tx,
+                               extra_loss_keys=self.extra_loss_keys)
         self.train_step = make_parallel_train_step(step, self.mesh)
 
         self.validator = DetectionValidator(args={
             **{k: args[k] for k in ("imgsz", "iou", "max_det", "max_boxes")},
             "batch": self.batch_size, "conf": 0.001, "split": args.get("split", "val"),
             "plots": bool(args.get("plots", True)), "save_dir": str(self.save_dir),
+            "task": self.task,
         })
         val_path = data.get(args.get("split", "val")) or data["train"]
         val_ds = YOLODataset(val_path, imgsz=self.imgsz, augment=False, nc=data["nc"],
-                             max_boxes=max_boxes)
+                             max_boxes=max_boxes, task=self.task)
         self.val_loader = DataLoader(val_ds, batch_size=self.batch_size, shuffle=False)
         self.validator.names = data["names"]
         self.stopper = EarlyStopping(int(args.get("patience", 100)))
@@ -229,7 +241,8 @@ class DetectionTrainer:
                         batch = multi_scale_batch(batch, self.imgsz, ms_rng)
                     rng, step_rng = jax.random.split(rng)
                     device_batch = shard_batch(
-                        {k: batch[k] for k in ("img", "cls", "bboxes", "mask")}, self.mesh
+                        {k: batch[k] for k in
+                         ("img", "cls", "bboxes", "mask", *self.extra_loss_keys)}, self.mesh
                     )
                     self.state, metrics = self.train_step(self.state, device_batch, step_rng)
                     epoch_metrics.append(
@@ -244,7 +257,7 @@ class DetectionTrainer:
                 results = self.validator(
                     model=self.model,
                     variables=jax.tree.map(lambda x: x, self.state.ema_variables),
-                    dataloader=self.val_loader, loss_fn=self.loss_fn,
+                    dataloader=self.val_loader, loss_fn=self.val_loss_fn,
                 )
                 fitness = results.get("fitness", 0.0)
             if fitness >= self.best_fitness:
