@@ -51,8 +51,20 @@ def _suppress(boxes, scores, iou_thres, conf_thres):
     return keep
 
 
+def _suppress_auto(boxes, scores, iou_thres, conf_thres, use_pallas):
+    """Dispatch to the Pallas VMEM-resident kernel on TPU (ops/nms_pallas.py),
+    else the lax loop. use_pallas=None -> auto by backend + shape."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and boxes.shape[0] % 128 == 0
+    if use_pallas:
+        from yolo_ad_refine_tpu.ops.nms_pallas import suppress_pallas
+
+        return suppress_pallas(boxes, scores, iou_thres, conf_thres)
+    return _suppress(boxes, scores, iou_thres, conf_thres)
+
+
 def _nms_single(pred, extra, conf_thres, iou_thres, max_det, max_nms, max_wh, multi_label,
-                agnostic, nc):
+                agnostic, nc, use_pallas=None):
     """NMS for one image. pred: (N, 4+nc) with xywh + per-class scores;
     extra: (N, E) per-anchor features carried through (mask coeffs, angles)."""
     boxes_xywh = pred[:, :4]
@@ -76,7 +88,8 @@ def _nms_single(pred, extra, conf_thres, iou_thres, max_det, max_nms, max_wh, mu
 
     cand_boxes = xywh2xyxy(boxes_xywh[anchor_idx])  # (K,4)
     offset = jnp.zeros_like(cls_idx) if agnostic else cls_idx * max_wh
-    keep = _suppress(cand_boxes + offset[:, None], top_scores, iou_thres, conf_thres)
+    keep = _suppress_auto(cand_boxes + offset[:, None], top_scores, iou_thres, conf_thres,
+                          use_pallas)
 
     # compact kept rows (already score-sorted) into a fixed (max_det, 6) output
     rows = jnp.concatenate([cand_boxes, top_scores[:, None], cls_idx[:, None]], axis=-1)
@@ -93,7 +106,7 @@ def _nms_single(pred, extra, conf_thres, iou_thres, max_det, max_nms, max_wh, mu
 
 @partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh", "multi_label", "agnostic", "nc"),
+    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh", "multi_label", "agnostic", "nc", "use_pallas"),
 )
 def non_max_suppression(
     prediction,
@@ -105,6 +118,7 @@ def non_max_suppression(
     multi_label: bool = False,
     agnostic: bool = False,
     nc: int = 80,
+    use_pallas: bool | None = None,
 ):
     """Batched fixed-shape NMS.
 
@@ -132,6 +146,7 @@ def non_max_suppression(
         multi_label=multi_label,
         agnostic=agnostic,
         nc=nc,
+        use_pallas=use_pallas,
     )
     det, cnt, extras = jax.vmap(fn)(pred, extra)
     return det, cnt, extras
