@@ -54,6 +54,15 @@ def collate(samples: list[dict], max_boxes: int) -> dict:
         "ratio_pad": [s["ratio_pad"] for s in samples],
         "im_file": [s["im_file"] for s in samples],
     }
+    if "keypoints" in samples[0]:
+        # (B, max_boxes, K, 3) keypoints in input px (x, y, visibility)
+        nk = max((s["keypoints"].shape[1] for s in samples if len(s["keypoints"])), default=0)
+        kpts = np.zeros((b, max_boxes, nk, 3), np.float32)
+        for i, s in enumerate(samples):
+            n = min(len(s["keypoints"]), max_boxes)
+            if n and nk:
+                kpts[i, :n] = s["keypoints"][:n]
+        out["keypoints"] = kpts
     if "segments" in samples[0]:
         # overlap-encoded instance index masks at 1/4 resolution (proto size)
         from yolo_ad_refine_tpu.train.segment import polygons_to_index_mask

@@ -70,13 +70,19 @@ class YOLODataset:
 
     def __init__(self, img_path: str | Path, imgsz: int = 640, augment: bool = False,
                  hyp: dict | None = None, max_boxes: int = 128, nc: int = 80,
-                 fraction: float = 1.0, cache: bool = True, task: str = "detect"):
+                 fraction: float = 1.0, cache: bool = True, task: str = "detect",
+                 kpt_shape: tuple | None = None, flip_idx: list | None = None):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp or {}
         self.max_boxes = max_boxes
         self.nc = nc
         self.task = task
+        # pose: (K, ndim) keypoint layout; inferred from label width if None.
+        # flip_idx maps each keypoint to its horizontal mirror (reference
+        # data/augment.py RandomFlip); fliplr is disabled for pose without it.
+        self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
+        self.flip_idx = list(flip_idx) if flip_idx else None
         self.im_files = self._glob_images(img_path)
         if fraction < 1.0:
             self.im_files = self.im_files[: max(1, int(len(self.im_files) * fraction))]
@@ -117,12 +123,28 @@ class YOLODataset:
         labels = []
         n_missing = 0
         segment_task = getattr(self, "task", "detect") == "segment"
+        pose_task = getattr(self, "task", "detect") == "pose"
         for lf in self.label_files:
             rows = np.zeros((0, 5), np.float32)
             segments: list = []
+            kpts = None
             if Path(lf).exists():
                 raw = [x.split() for x in Path(lf).read_text().splitlines() if x.strip()]
-                if raw and segment_task and any(len(r) > 5 for r in raw):
+                if raw and pose_task:
+                    # pose rows: cls x y w h (kx ky [kv]) * K (reference
+                    # data/utils.py verify_image_label keypoint branch)
+                    extra = len(raw[0]) - 5
+                    if self.kpt_shape is None:
+                        self.kpt_shape = (extra // 3, 3) if extra % 3 == 0 else (extra // 2, 2)
+                    nk, ndim = self.kpt_shape
+                    vals = np.asarray(raw, np.float32)
+                    rows = vals[:, :5]
+                    rows[:, 1:] = rows[:, 1:].clip(0, 1)
+                    k = vals[:, 5 : 5 + nk * ndim].reshape(-1, nk, ndim)
+                    if ndim == 2:  # no visibility flag: mark all visible
+                        k = np.concatenate([k, np.ones((*k.shape[:2], 1), np.float32)], -1)
+                    kpts = k
+                elif raw and segment_task and any(len(r) > 5 for r in raw):
                     # segmentation rows: cls x1 y1 x2 y2 ... (normalized polygon)
                     parsed = []
                     for r in raw:
@@ -141,6 +163,11 @@ class YOLODataset:
             lab = {"cls": rows[:, 0], "xywhn": rows[:, 1:5]}
             if segment_task:
                 lab["segments"] = segments
+            if pose_task:
+                nk = self.kpt_shape[0] if self.kpt_shape else 0
+                lab["keypoints"] = (
+                    kpts if kpts is not None else np.zeros((len(rows), nk, 3), np.float32)
+                )
             labels.append(lab)
         if n_missing:
             LOGGER.warning(f"{n_missing}/{len(self.im_files)} label files missing (treated as background)")
@@ -195,6 +222,8 @@ class YOLODataset:
             mosaic = self.mosaic_enabled and rng.random() < hyp.get("mosaic", 1.0)
         if self.task == "segment":
             return self._get_segment_sample(i, rng)
+        if self.task == "pose":
+            return self._get_pose_sample(i, rng)
 
         if self.augment and mosaic:
             idxs = [i] + list(rng.integers(0, len(self), 3))
@@ -253,6 +282,46 @@ class YOLODataset:
             "cls": cls.astype(np.float32),
             "ori_shape": tuple(ori_shape),
             "ratio_pad": ratio_pad,
+            "im_file": self.im_files[i % len(self)],
+        }
+
+    def _get_pose_sample(self, i: int, rng: np.random.Generator):
+        """Pose-task sample: letterbox + hsv, keypoints transformed with the
+        boxes. fliplr needs flip_idx (left/right joint swap) and is skipped
+        without it — mirroring a person without swapping joints corrupts GT."""
+        img, boxes, cls, (h0, w0) = self.load_item(i, with_shape=True)
+        r1 = img.shape[0] / h0
+        h, w = img.shape[:2]
+        kpts = self.labels[i]["keypoints"].copy()  # (n, K, 3) normalized
+        if len(kpts):
+            kpts[..., 0] *= w
+            kpts[..., 1] *= h
+        img, ratio, pad = A.letterbox(img, self.imgsz, scaleup=self.augment)
+        boxes = boxes * ratio[0] + np.asarray([*pad, *pad], np.float32)
+        if len(kpts):
+            vis = kpts[..., 2:] > 0
+            kpts[..., :2] = (kpts[..., :2] * ratio[0] + np.asarray(pad, np.float32)) * vis
+        if self.augment:
+            img = np.ascontiguousarray(img)
+            A.augment_hsv(img, rng, self.hyp.get("hsv_h", 0.015), self.hyp.get("hsv_s", 0.7),
+                          self.hyp.get("hsv_v", 0.4))
+            if self.flip_idx is not None and rng.random() < self.hyp.get("fliplr", 0.5):
+                img = np.ascontiguousarray(np.fliplr(img))
+                boxes = np.stack(
+                    [img.shape[1] - boxes[:, 2], boxes[:, 1],
+                     img.shape[1] - boxes[:, 0], boxes[:, 3]], -1
+                ) if len(boxes) else boxes
+                if len(kpts):
+                    kpts = kpts[:, self.flip_idx]
+                    vis = kpts[..., 2:] > 0
+                    kpts[..., 0] = (img.shape[1] - kpts[..., 0]) * vis[..., 0]
+        return {
+            "img": np.ascontiguousarray(img),
+            "bboxes": boxes.astype(np.float32),
+            "cls": cls.astype(np.float32),
+            "keypoints": kpts.astype(np.float32),
+            "ori_shape": (h0, w0),
+            "ratio_pad": ((ratio[0] * r1, ratio[1] * r1), pad),
             "im_file": self.im_files[i % len(self)],
         }
 

@@ -114,7 +114,9 @@ class DetectionValidator:
                     ))
                     feats_for_loss = feats[0] if isinstance(feats, tuple) else feats
                 else:
-                    feats_for_loss = feats
+                    # pose/OBB heads return (feats, extra_branch); the box val
+                    # loss consumes the per-level feature maps only
+                    feats_for_loss = feats[0] if isinstance(feats, tuple) else feats
                 if loss_fn is not None:
                     out = loss_fn(feats_for_loss, jnp.asarray(batch["cls"]),
                                   jnp.asarray(batch["bboxes"]), jnp.asarray(batch["mask"]))

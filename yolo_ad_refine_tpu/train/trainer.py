@@ -124,9 +124,13 @@ class DetectionTrainer:
             "perspective", "flipud", "fliplr", "mosaic", "mixup", "copy_paste")}
         max_boxes = int(args.get("max_boxes", 128))
         self.task = args.get("task", "detect")
+        task_kw = {}
+        if self.task == "pose":
+            task_kw = {"kpt_shape": data.get("kpt_shape"), "flip_idx": data.get("flip_idx")}
         train_ds = YOLODataset(data["train"], imgsz=self.imgsz, augment=True, hyp=hyp,
                                nc=data["nc"], max_boxes=max_boxes,
-                               fraction=float(args.get("fraction", 1.0)), task=self.task)
+                               fraction=float(args.get("fraction", 1.0)), task=self.task,
+                               **task_kw)
         self.train_loader = DataLoader(train_ds, batch_size=self.batch_size, shuffle=True,
                                        seed=int(args.get("seed", 0)), drop_last=True)
         self.nb = max(len(self.train_loader), 1)
@@ -149,6 +153,16 @@ class DetectionTrainer:
             self.loss_fn = SegmentationLoss(nc=data["nc"], strides=self.model.strides, **gains)
             self.extra_loss_keys = ("masks",)
             # the val-loss path uses the detection components of the seg loss
+            self.val_loss_fn = self.loss_fn.det
+        elif self.task == "pose":
+            from yolo_ad_refine_tpu.train.pose import PoseLoss
+
+            kpt_shape = tuple(getattr(self.model.head_spec.module, "kpt_shape", (17, 3)))
+            self.loss_fn = PoseLoss(nc=data["nc"], strides=self.model.strides,
+                                    kpt_shape=kpt_shape, **gains,
+                                    pose_gain=float(args.get("pose", 12.0)),
+                                    kobj_gain=float(args.get("kobj", 1.0)))
+            self.extra_loss_keys = ("keypoints",)
             self.val_loss_fn = self.loss_fn.det
         else:
             self.loss_fn = DetectionLoss(nc=data["nc"], strides=self.model.strides, **gains)
@@ -199,7 +213,7 @@ class DetectionTrainer:
         })
         val_path = data.get(args.get("split", "val")) or data["train"]
         val_ds = YOLODataset(val_path, imgsz=self.imgsz, augment=False, nc=data["nc"],
-                             max_boxes=max_boxes, task=self.task)
+                             max_boxes=max_boxes, task=self.task, **task_kw)
         self.val_loader = DataLoader(val_ds, batch_size=self.batch_size, shuffle=False)
         self.validator.names = data["names"]
         self.stopper = EarlyStopping(int(args.get("patience", 100)))
