@@ -31,7 +31,8 @@ def collate(samples: list[dict], max_boxes: int) -> dict:
     h, w = samples[0]["img"].shape[:2]
     img = np.stack([s["img"] for s in samples])
     cls = np.zeros((b, max_boxes, 1), np.float32)
-    bboxes = np.zeros((b, max_boxes, 4), np.float32)
+    bw = samples[0]["bboxes"].shape[-1]  # 4 (xyxy) or 5 (xywhr for obb)
+    bboxes = np.zeros((b, max_boxes, bw), np.float32)
     mask = np.zeros((b, max_boxes, 1), np.float32)
     overflow = 0
     for i, s in enumerate(samples):

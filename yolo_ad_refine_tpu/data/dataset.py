@@ -65,6 +65,21 @@ def img2label_path(img_path: str) -> str:
     return str(p.with_suffix(".txt"))
 
 
+def xyxyxyxy2xywhr_np(corners: np.ndarray) -> np.ndarray:
+    """(n, 4, 2) corner quads -> (n, 5) xywhr, r in radians [0, pi/2)
+    (reference utils/ops.py:xyxyxyxy2xywhr using cv2.minAreaRect)."""
+    if not len(corners):
+        return np.zeros((0, 5), np.float32)
+    out = []
+    for pts in corners:
+        (cx, cy), (w, h), angle = cv2.minAreaRect(pts.astype(np.float32))
+        r = (angle / 180.0 * np.pi) % np.pi  # regularize to [0, pi/2) using
+        if r >= np.pi / 2:  # the (w,h,r) == (h,w,r+pi/2) equivalence
+            w, h, r = h, w, r - np.pi / 2
+        out.append([cx, cy, w, h, r])
+    return np.asarray(out, np.float32)
+
+
 class YOLODataset:
     """Detection dataset over an image dir/list with YOLO txt labels."""
 
@@ -124,13 +139,24 @@ class YOLODataset:
         n_missing = 0
         segment_task = getattr(self, "task", "detect") == "segment"
         pose_task = getattr(self, "task", "detect") == "pose"
+        obb_task = getattr(self, "task", "detect") == "obb"
         for lf in self.label_files:
             rows = np.zeros((0, 5), np.float32)
             segments: list = []
             kpts = None
+            corners = None
             if Path(lf).exists():
                 raw = [x.split() for x in Path(lf).read_text().splitlines() if x.strip()]
-                if raw and pose_task:
+                if raw and obb_task:
+                    # OBB rows (DOTA-style): cls x1 y1 x2 y2 x3 y3 x4 y4
+                    # normalized corners (reference data/utils.py xyxyxyxy)
+                    vals = np.asarray(raw, np.float32)
+                    corners = vals[:, 1:9].reshape(-1, 4, 2).clip(0, 1)
+                    cx, cy = corners[..., 0].mean(-1), corners[..., 1].mean(-1)
+                    w = corners[..., 0].max(-1) - corners[..., 0].min(-1)
+                    h = corners[..., 1].max(-1) - corners[..., 1].min(-1)
+                    rows = np.stack([vals[:, 0], cx, cy, w, h], -1)
+                elif raw and pose_task:
                     # pose rows: cls x y w h (kx ky [kv]) * K (reference
                     # data/utils.py verify_image_label keypoint branch)
                     extra = len(raw[0]) - 5
@@ -167,6 +193,10 @@ class YOLODataset:
                 nk = self.kpt_shape[0] if self.kpt_shape else 0
                 lab["keypoints"] = (
                     kpts if kpts is not None else np.zeros((len(rows), nk, 3), np.float32)
+                )
+            if obb_task:
+                lab["corners"] = (
+                    corners if corners is not None else np.zeros((0, 4, 2), np.float32)
                 )
             labels.append(lab)
         if n_missing:
@@ -224,6 +254,8 @@ class YOLODataset:
             return self._get_segment_sample(i, rng)
         if self.task == "pose":
             return self._get_pose_sample(i, rng)
+        if self.task == "obb":
+            return self._get_obb_sample(i, rng)
 
         if self.augment and mosaic:
             idxs = [i] + list(rng.integers(0, len(self), 3))
@@ -282,6 +314,37 @@ class YOLODataset:
             "cls": cls.astype(np.float32),
             "ori_shape": tuple(ori_shape),
             "ratio_pad": ratio_pad,
+            "im_file": self.im_files[i % len(self)],
+        }
+
+    def _get_obb_sample(self, i: int, rng: np.random.Generator):
+        """OBB-task sample: letterbox + hsv/fliplr, corner quads transformed
+        with the image then converted to xywhr (reference ops.py
+        xyxyxyxy2xywhr via cv2.minAreaRect; angle radians in [0, pi/2))."""
+        img, _, cls, (h0, w0) = self.load_item(i, with_shape=True)
+        r1 = img.shape[0] / h0
+        h, w = img.shape[:2]
+        corners = self.labels[i]["corners"].copy()  # (n, 4, 2) normalized
+        if len(corners):
+            corners *= np.asarray([w, h], np.float32)
+        img, ratio, pad = A.letterbox(img, self.imgsz, scaleup=self.augment)
+        if len(corners):
+            corners = corners * ratio[0] + np.asarray(pad, np.float32)
+        if self.augment:
+            img = np.ascontiguousarray(img)
+            A.augment_hsv(img, rng, self.hyp.get("hsv_h", 0.015), self.hyp.get("hsv_s", 0.7),
+                          self.hyp.get("hsv_v", 0.4))
+            if rng.random() < self.hyp.get("fliplr", 0.5):
+                img = np.ascontiguousarray(np.fliplr(img))
+                if len(corners):
+                    corners[..., 0] = img.shape[1] - corners[..., 0]
+        rboxes = xyxyxyxy2xywhr_np(corners)
+        return {
+            "img": np.ascontiguousarray(img),
+            "bboxes": rboxes.astype(np.float32),  # (n, 5) xywhr px
+            "cls": cls.astype(np.float32),
+            "ori_shape": (h0, w0),
+            "ratio_pad": ((ratio[0] * r1, ratio[1] * r1), pad),
             "im_file": self.im_files[i % len(self)],
         }
 

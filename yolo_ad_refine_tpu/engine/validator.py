@@ -29,7 +29,7 @@ from yolo_ad_refine_tpu.ops.boxes import scale_boxes
 from yolo_ad_refine_tpu.ops.nms import non_max_suppression
 from yolo_ad_refine_tpu.utils import LOGGER, Profile
 from yolo_ad_refine_tpu.utils.metrics import ConfusionMatrix, DetMetrics, match_predictions
-from yolo_ad_refine_tpu.utils.metrics_np import box_iou_np
+from yolo_ad_refine_tpu.utils.metrics_np import box_iou_np, probiou_np
 
 
 class DetectionValidator:
@@ -70,6 +70,7 @@ class DetectionValidator:
         variables = variables if variables is not None else model.variables
 
         segment = self.args.get("task") == "segment"
+        rotated = self.args.get("task") == "obb"
 
         @partial(jax.jit, static_argnames=())
         def forward_nms(vars_, img):
@@ -77,7 +78,7 @@ class DetectionValidator:
             y, feats = model.graph.apply(vars_, img, train=False)
             det, cnt, _extra = non_max_suppression(
                 y, conf_thres=float(conf), iou_thres=iou, max_det=max_det,
-                multi_label=True, nc=nc,
+                multi_label=True, nc=nc, rotated=rotated,
             )
             return det, cnt, _extra, feats
 
@@ -113,9 +114,12 @@ class DetectionValidator:
                         mask_iou_fn(proto, extras, det, jnp.asarray(batch["masks"]))
                     ))
                     feats_for_loss = feats[0] if isinstance(feats, tuple) else feats
+                elif rotated:
+                    # OBBLoss consumes the head's full (feats, angle) tuple
+                    feats_for_loss = feats
                 else:
-                    # pose/OBB heads return (feats, extra_branch); the box val
-                    # loss consumes the per-level feature maps only
+                    # the pose head returns (feats, kpt); the box val loss
+                    # consumes the per-level feature maps only
                     feats_for_loss = feats[0] if isinstance(feats, tuple) else feats
                 if loss_fn is not None:
                     out = loss_fn(feats_for_loss, jnp.asarray(batch["cls"]),
@@ -124,9 +128,11 @@ class DetectionValidator:
                     n_batches += 1
                 det = np.asarray(jax.device_get(det))
                 cnt = np.asarray(jax.device_get(cnt))
+                angles = np.asarray(jax.device_get(extras))[..., 0] if rotated else None
             with profs["postprocess"]:
                 self._update_metrics(det, cnt, batch, metrics, confusion, imgsz,
-                                     seg_metrics=seg_metrics, mask_ious=mask_ious)
+                                     seg_metrics=seg_metrics, mask_ious=mask_ious,
+                                     angles=angles)
             seen += len(batch["im_file"])
 
         results = metrics.process()
@@ -161,9 +167,23 @@ class DetectionValidator:
                           save_dir / "PR_curve.png", names)
 
     # -- per-batch metric update ----------------------------------------------
+    @staticmethod
+    def _scale_rboxes(rb, ratio_pad):
+        """Rescale (n,5) xywhr from letterboxed to native px: centers un-pad +
+        un-scale, wh un-scale, angle invariant (reference obb/val.py)."""
+        gain = ratio_pad[0][0]
+        padw, padh = ratio_pad[1]
+        rb = rb.copy()
+        rb[:, 0] = (rb[:, 0] - padw) / gain
+        rb[:, 1] = (rb[:, 1] - padh) / gain
+        rb[:, 2:4] /= gain
+        return rb
+
     def _update_metrics(self, det, cnt, batch, metrics: DetMetrics,
                         confusion: ConfusionMatrix, imgsz: int,
-                        seg_metrics: DetMetrics | None = None, mask_ious=None):
+                        seg_metrics: DetMetrics | None = None, mask_ious=None,
+                        angles=None):
+        rotated = angles is not None
         for i in range(det.shape[0]):
             n = int(cnt[i])
             d = det[i, :n].copy()  # (n, 6) in letterboxed coords
@@ -174,16 +194,24 @@ class DetectionValidator:
             gt_cls = batch["cls"][i][mask, 0]
 
             # rescale both to native space (reference _prepare_batch/_prepare_pred)
-            if n:
-                d[:, :4] = np.asarray(
-                    scale_boxes((imgsz, imgsz), jnp.asarray(d[:, :4]), ori_shape,
-                                ratio_pad=ratio_pad)
-                )
-            if len(gt_boxes):
-                gt_boxes = np.asarray(
-                    scale_boxes((imgsz, imgsz), jnp.asarray(gt_boxes), ori_shape,
-                                ratio_pad=ratio_pad)
-                )
+            if rotated:
+                if n:
+                    d[:, :4] = self._scale_rboxes(
+                        np.concatenate([d[:, :4], angles[i, :n, None]], -1), ratio_pad
+                    )[:, :4]
+                if len(gt_boxes):
+                    gt_boxes = self._scale_rboxes(gt_boxes, ratio_pad)
+            else:
+                if n:
+                    d[:, :4] = np.asarray(
+                        scale_boxes((imgsz, imgsz), jnp.asarray(d[:, :4]), ori_shape,
+                                    ratio_pad=ratio_pad)
+                    )
+                if len(gt_boxes):
+                    gt_boxes = np.asarray(
+                        scale_boxes((imgsz, imgsz), jnp.asarray(gt_boxes), ori_shape,
+                                    ratio_pad=ratio_pad)
+                    )
 
             if n == 0:
                 if len(gt_cls):
@@ -194,10 +222,18 @@ class DetectionValidator:
                         seg_metrics.update_stats(
                             np.zeros((0, 10), bool), np.zeros(0), np.zeros(0), gt_cls
                         )
-                    confusion.process_batch(None, gt_boxes, gt_cls)
+                    if not rotated:
+                        confusion.process_batch(None, gt_boxes, gt_cls)
                 continue
             if len(gt_cls):
-                iou = box_iou_np(gt_boxes, d[:, :4])
+                if rotated:
+                    pred_rb = self._scale_rboxes(
+                        np.concatenate([det[i, :n, :4].copy(), angles[i, :n, None]], -1),
+                        ratio_pad,
+                    )
+                    iou = probiou_np(gt_boxes, pred_rb)
+                else:
+                    iou = box_iou_np(gt_boxes, d[:, :4])
                 tp = match_predictions(d[:, 5], gt_cls, iou)
             else:
                 tp = np.zeros((n, 10), bool)
@@ -208,7 +244,8 @@ class DetectionValidator:
                 tp_m = (match_predictions(d[:, 5], gt_cls, miou) if n_gt
                         else np.zeros((n, 10), bool))
                 seg_metrics.update_stats(tp_m, d[:, 4], d[:, 5], gt_cls)
-            confusion.process_batch(d, gt_boxes, gt_cls)
+            if not rotated:  # confusion matrix is axis-aligned-only
+                confusion.process_batch(d, gt_boxes, gt_cls)
 
     def _print_results(self, metrics: DetMetrics, seen: int, names: dict):
         r = metrics.results_dict

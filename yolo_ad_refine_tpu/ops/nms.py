@@ -51,6 +51,30 @@ def _suppress(boxes, scores, iou_thres, conf_thres):
     return keep
 
 
+def _suppress_rotated(rboxes, scores, iou_thres, conf_thres):
+    """Greedy rotated NMS via probiou (reference utils/ops.py nms_rotated,
+    called for OBB at ops.py:296). rboxes (K, 5) xywhr, centers already
+    class-offset; scores (K,) descending. Returns keep mask (K,) bool."""
+    from yolo_ad_refine_tpu.ops.iou import probiou
+
+    k = rboxes.shape[0]
+
+    def body(i, state):
+        alive, keep = state
+        cur_valid = alive[i] & (scores[i] > conf_thres)
+        iou = probiou(rboxes[i][None], rboxes)  # (K,)
+        idx = jnp.arange(k)
+        kill = cur_valid & (idx > i) & (iou > iou_thres)
+        alive = alive & ~kill
+        keep = keep.at[i].set(cur_valid)
+        return alive, keep
+
+    alive0 = jnp.ones((k,), dtype=bool)
+    keep0 = jnp.zeros((k,), dtype=bool)
+    _, keep = jax.lax.fori_loop(0, k, body, (alive0, keep0))
+    return keep
+
+
 def _suppress_auto(boxes, scores, iou_thres, conf_thres, use_pallas):
     """Dispatch to the Pallas VMEM-resident kernel on TPU (ops/nms_pallas.py),
     else the lax loop. use_pallas=None -> auto by backend + shape."""
@@ -64,7 +88,7 @@ def _suppress_auto(boxes, scores, iou_thres, conf_thres, use_pallas):
 
 
 def _nms_single(pred, extra, conf_thres, iou_thres, max_det, max_nms, max_wh, multi_label,
-                agnostic, nc, use_pallas=None):
+                agnostic, nc, use_pallas=None, rotated=False):
     """NMS for one image. pred: (N, 4+nc) with xywh + per-class scores;
     extra: (N, E) per-anchor features carried through (mask coeffs, angles)."""
     boxes_xywh = pred[:, :4]
@@ -86,10 +110,19 @@ def _nms_single(pred, extra, conf_thres, iou_thres, max_det, max_nms, max_wh, mu
         top_scores, anchor_idx = jax.lax.top_k(conf, k)
         cls_idx = cls[anchor_idx]
 
-    cand_boxes = xywh2xyxy(boxes_xywh[anchor_idx])  # (K,4)
     offset = jnp.zeros_like(cls_idx) if agnostic else cls_idx * max_wh
-    keep = _suppress_auto(cand_boxes + offset[:, None], top_scores, iou_thres, conf_thres,
-                          use_pallas)
+    if rotated:
+        # rotated boxes: keep xywh rows, suppress via probiou with the angle
+        # carried in the first extra column (reference ops.py:279-299)
+        cand_boxes = boxes_xywh[anchor_idx]  # (K,4) xywh
+        angle = extra[anchor_idx][:, :1]  # (K,1)
+        rb = jnp.concatenate([cand_boxes[:, :2] + offset[:, None], cand_boxes[:, 2:4],
+                              angle], axis=-1)
+        keep = _suppress_rotated(rb, top_scores, iou_thres, conf_thres)
+    else:
+        cand_boxes = xywh2xyxy(boxes_xywh[anchor_idx])  # (K,4)
+        keep = _suppress_auto(cand_boxes + offset[:, None], top_scores, iou_thres,
+                              conf_thres, use_pallas)
 
     # compact kept rows (already score-sorted) into a fixed (max_det, 6) output
     rows = jnp.concatenate([cand_boxes, top_scores[:, None], cls_idx[:, None]], axis=-1)
@@ -106,7 +139,7 @@ def _nms_single(pred, extra, conf_thres, iou_thres, max_det, max_nms, max_wh, mu
 
 @partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh", "multi_label", "agnostic", "nc", "use_pallas"),
+    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh", "multi_label", "agnostic", "nc", "use_pallas", "rotated"),
 )
 def non_max_suppression(
     prediction,
@@ -119,6 +152,7 @@ def non_max_suppression(
     agnostic: bool = False,
     nc: int = 80,
     use_pallas: bool | None = None,
+    rotated: bool = False,
 ):
     """Batched fixed-shape NMS.
 
@@ -147,6 +181,7 @@ def non_max_suppression(
         agnostic=agnostic,
         nc=nc,
         use_pallas=use_pallas,
+        rotated=rotated,
     )
     det, cnt, extras = jax.vmap(fn)(pred, extra)
     return det, cnt, extras

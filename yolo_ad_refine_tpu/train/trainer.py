@@ -69,7 +69,8 @@ def multi_scale_batch(batch: dict, imgsz: int, rng: np.random.Generator) -> dict
     ])
     out = dict(batch)
     out["img"] = imgs
-    out["bboxes"] = batch["bboxes"] * scale
+    out["bboxes"] = batch["bboxes"].copy()
+    out["bboxes"][..., :4] *= scale  # col 4 (obb angle) is scale-invariant
     return out
 
 
@@ -164,6 +165,14 @@ class DetectionTrainer:
                                     kobj_gain=float(args.get("kobj", 1.0)))
             self.extra_loss_keys = ("keypoints",)
             self.val_loss_fn = self.loss_fn.det
+        elif self.task == "obb":
+            from yolo_ad_refine_tpu.train.obb import OBBLoss
+
+            self.loss_fn = OBBLoss(nc=data["nc"], strides=self.model.strides, **gains)
+            self.extra_loss_keys = ()
+            # OBBLoss consumes the head's full (feats, angle) train output,
+            # which the eval path also returns — reuse it for val loss
+            self.val_loss_fn = self.loss_fn
         else:
             self.loss_fn = DetectionLoss(nc=data["nc"], strides=self.model.strides, **gains)
             self.extra_loss_keys = ()
