@@ -65,15 +65,28 @@ class DetectionPredictor:
         save = bool(args.get("save", False))
         names = names or getattr(model, "names", None) or {i: f"class{i}" for i in range(model.nc)}
         variables = args.get("variables") or model.variables
+        # task from the model's head (reference: task inferred from checkpoint)
+        head = getattr(model, "head_spec", None)
+        task = {"Segment": "segment", "Pose": "pose", "OBB": "obb"}.get(
+            head.name if head is not None else "", "detect")
 
         @jax.jit
         def forward_nms(img):
             x = img.astype(model.dtype) / 255.0
-            y, _ = model.graph.apply(variables, x, train=False)
-            return non_max_suppression(
+            y, feats = model.graph.apply(variables, x, train=False)
+            det, cnt, extras = non_max_suppression(
                 y, conf_thres=conf, iou_thres=iou, max_det=max_det,
-                agnostic=agnostic, nc=model.nc,
+                agnostic=agnostic, nc=model.nc, rotated=(task == "obb"),
             )
+            if task == "segment":
+                from yolo_ad_refine_tpu.ops.masks import process_mask
+
+                proto = feats[2]  # (B, mh, mw, nm)
+                masks = jax.vmap(
+                    lambda p, e, d: process_mask(p, e, d[:, :4], (imgsz, imgsz))
+                )(proto, extras, det)
+                return det, cnt, extras, masks
+            return det, cnt, extras, jnp.zeros((), jnp.float32)
 
         items = load_sources(source)
         save_dir = None
@@ -96,18 +109,50 @@ class DetectionPredictor:
                     [batch, np.zeros((batch_size - n_real, *batch.shape[1:]), batch.dtype)]
                 )
             t0 = time.perf_counter()
-            det, cnt, _ = jax.device_get(forward_nms(jnp.asarray(batch)))
+            det, cnt, extras, pmasks = jax.device_get(forward_nms(jnp.asarray(batch)))
             dt = (time.perf_counter() - t0) / max(n_real, 1) * 1000
 
             for j, (name, im0, ratio, pad) in enumerate(metas):
                 n = int(cnt[j])
                 d = np.array(det[j, :n])  # writable copy (device arrays are read-only views)
-                if n:
+                kw = {}
+                if task == "obb":
+                    # det rows are xywh; rescale with the angle, keep AA hulls
+                    # in .boxes for the shared plot/verbose/track consumers
+                    rb = np.concatenate([d[:, :4], np.array(extras[j, :n, :1])], -1)
+                    rb[:, 0] = (rb[:, 0] - pad[0]) / ratio[0]
+                    rb[:, 1] = (rb[:, 1] - pad[1]) / ratio[0]
+                    rb[:, 2:4] /= ratio[0]
+                    obb = np.concatenate([rb, d[:, 4:6]], -1)
+                    kw["obb"] = obb
+                    from yolo_ad_refine_tpu.engine.results import OBBoxes
+
+                    d = np.concatenate(
+                        [OBBoxes(obb, im0.shape[:2]).xyxy, d[:, 4:6]], -1)
+                elif n:
                     d[:, :4] = np.asarray(
                         scale_boxes((imgsz, imgsz), jnp.asarray(d[:, :4]), im0.shape[:2],
                                     ratio_pad=(ratio, pad))
                     )
-                r = Results(im0, name, names, d, speed={"inference": dt})
+                if task == "pose":
+                    ks = getattr(head.module, "kpt_shape", (17, 3))
+                    kp = np.array(extras[j, :n]).reshape(n, *ks)
+                    kp[..., 0] = (kp[..., 0] - pad[0]) / ratio[0]
+                    kp[..., 1] = (kp[..., 1] - pad[1]) / ratio[0]
+                    kw["keypoints"] = kp
+                elif task == "segment" and n:
+                    import cv2
+
+                    h0, w0 = im0.shape[:2]
+                    # un-letterbox: crop the pad, resize to original
+                    top, left = int(round(pad[1])), int(round(pad[0]))
+                    bh, bw = int(round(h0 * ratio[0])), int(round(w0 * ratio[0]))
+                    m = np.array(pmasks[j, :n, top : top + bh, left : left + bw])
+                    m = np.stack([
+                        cv2.resize(mi, (w0, h0), interpolation=cv2.INTER_LINEAR) for mi in m
+                    ]) if n else m
+                    kw["masks"] = (m > 0.5).astype(np.float32)
+                r = Results(im0, name, names, d, speed={"inference": dt}, **kw)
                 results.append(r)
                 LOGGER.info(f"{name}: {r.verbose()} ({dt:.1f} ms/img)")
                 if save_dir is not None:

@@ -61,16 +61,113 @@ class Boxes:
         return self.xywh / np.asarray([w, h, w, h], np.float32)
 
 
+class Masks:
+    """(n, H, W) binary instance masks in original-image pixels
+    (reference results.py Masks)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self):
+        """Largest contour polygon per mask, px (reference masks2segments)."""
+        import cv2
+
+        out = []
+        for m in self.data:
+            cs, _ = cv2.findContours((m > 0.5).astype(np.uint8), cv2.RETR_EXTERNAL,
+                                     cv2.CHAIN_APPROX_SIMPLE)
+            out.append(
+                max(cs, key=cv2.contourArea).reshape(-1, 2).astype(np.float32)
+                if cs else np.zeros((0, 2), np.float32)
+            )
+        return out
+
+
+class Keypoints:
+    """(n, K, 2|3) keypoints in original-image pixels (reference results.py
+    Keypoints): .xy px, .xyn normalized, .conf visibility."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple):
+        self.data = np.asarray(data, np.float32)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def xyn(self):
+        h, w = self.orig_shape
+        return self.xy / np.asarray([w, h], np.float32)
+
+    @property
+    def conf(self):
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None
+
+
+class OBBoxes:
+    """(n, 7) oriented detections [cx, cy, w, h, r, conf, cls], original-image
+    pixels, r radians (reference results.py OBB)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple):
+        self.data = np.asarray(data, np.float32).reshape(-1, 7)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    @property
+    def xywhr(self):
+        return self.data[:, :5]
+
+    @property
+    def conf(self):
+        return self.data[:, 5]
+
+    @property
+    def cls(self):
+        return self.data[:, 6]
+
+    @property
+    def xyxyxyxy(self):
+        """(n, 4, 2) corner points."""
+        cx, cy, w, h, r = (self.data[:, i] for i in range(5))
+        c, s = np.cos(r), np.sin(r)
+        dx = np.stack([-w / 2, w / 2, w / 2, -w / 2], -1)
+        dy = np.stack([-h / 2, -h / 2, h / 2, h / 2], -1)
+        return np.stack(
+            [cx[:, None] + dx * c[:, None] - dy * s[:, None],
+             cy[:, None] + dx * s[:, None] + dy * c[:, None]], -1)
+
+    @property
+    def xyxy(self):
+        """Axis-aligned hulls (n, 4) for plotting/IoU-lite consumers."""
+        pts = self.xyxyxyxy
+        return np.concatenate([pts.min(1), pts.max(1)], -1)
+
+
 class Results:
     """Per-image result: boxes + metadata + render/save helpers."""
 
     def __init__(self, orig_img: np.ndarray, path: str, names: dict, boxes: np.ndarray,
-                 speed: dict | None = None):
+                 speed: dict | None = None, masks: np.ndarray | None = None,
+                 keypoints: np.ndarray | None = None, obb: np.ndarray | None = None):
         self.orig_img = orig_img
         self.orig_shape = orig_img.shape[:2]
         self.path = path
         self.names = names
         self.boxes = Boxes(boxes, self.orig_shape)
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self.keypoints = Keypoints(keypoints, self.orig_shape) if keypoints is not None else None
+        self.obb = OBBoxes(obb, self.orig_shape) if obb is not None else None
         self.speed = speed or {}
 
     def __len__(self):
@@ -82,6 +179,24 @@ class Results:
 
         img = self.orig_img.copy()
         lw = line_width or max(round(sum(img.shape) / 2 * 0.003), 2)
+        if self.masks is not None and len(self.masks):
+            overlay = img.copy()
+            for i, m in enumerate(self.masks.data):
+                color = np.array([37, 255, 153]) * ((i * 17 + 29) % 7 + 1) % 255
+                overlay[m > 0.5] = 0.5 * overlay[m > 0.5] + 0.5 * color
+            img = overlay.astype(img.dtype)
+        if self.obb is not None and len(self.obb):
+            for i, pts in enumerate(self.obb.xyxyxyxy):
+                c = int(self.obb.cls[i])
+                color = tuple(
+                    int(x) for x in np.array([37, 255, 153]) * ((c * 17 + 29) % 7 + 1) % 255
+                )
+                cv2.polylines(img, [pts.astype(np.int32)], True, color, lw)
+        if self.keypoints is not None and len(self.keypoints):
+            for kps in self.keypoints.data:
+                for x, y, *v in kps:
+                    if not v or v[0] > 0.25:
+                        cv2.circle(img, (int(x), int(y)), max(lw, 2), (0, 0, 255), -1)
         for i, row in enumerate(self.boxes.data):
             x1, y1, x2, y2 = row[:4]
             conf, cls = row[-2], row[-1]

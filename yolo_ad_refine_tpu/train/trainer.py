@@ -125,6 +125,9 @@ class DetectionTrainer:
             "perspective", "flipud", "fliplr", "mosaic", "mixup", "copy_paste")}
         max_boxes = int(args.get("max_boxes", 128))
         self.task = args.get("task", "detect")
+        if self.batch_size == -1:  # reference autobatch (batch=-1)
+            self.batch_size = self._autobatch(data["nc"], max_boxes)
+            self.args["batch"] = self.batch_size
         task_kw = {}
         if self.task == "pose":
             task_kw = {"kpt_shape": data.get("kpt_shape"), "flip_idx": data.get("flip_idx")}
@@ -227,6 +230,46 @@ class DetectionTrainer:
         self.validator.names = data["names"]
         self.stopper = EarlyStopping(int(args.get("patience", 100)))
         yaml_save(self.save_dir / "args.yaml", self.args)
+
+    def _autobatch(self, nc: int, max_boxes: int) -> int:
+        """Pick batch from XLA memory analysis of the real detect train step
+        (utils/autobatch.py; reference utils/autobatch.py check_train_batch_size)."""
+        import jax.numpy as jnp
+
+        from yolo_ad_refine_tpu.train.loss import DetectionLoss
+        from yolo_ad_refine_tpu.train.step import TrainState, make_train_step
+        from yolo_ad_refine_tpu.utils.autobatch import autobatch
+
+        if self.model is None:
+            dtype = jnp.bfloat16 if self.args.get("amp", True) and \
+                jax.devices()[0].platform != "cpu" else jnp.float32
+            self.model = DetectionModel(self.args["model"], nc=nc, dtype=dtype)
+            self.model.init(jax.random.PRNGKey(int(self.args.get("seed", 0))),
+                            imgsz=self.imgsz)
+        import optax
+
+        tx = optax.sgd(0.01, momentum=0.9)  # probe opt ~= default SGD state size
+        det_loss = DetectionLoss(nc=nc, strides=self.model.strides)
+
+        def loss_fn(preds, *targets):
+            # task heads (Segment/Pose/OBB) return (feats, *extra) in train
+            # mode; the probe charges the detection loss — the extra-branch
+            # losses are a small constant on top of the fitted peak
+            return det_loss(preds[0] if isinstance(preds, tuple) else preds, *targets)
+
+        step = make_train_step(self.model.graph, loss_fn, tx)
+        state = TrainState.create(self.model.variables, tx)
+
+        def program(b):
+            batch = {
+                "img": jax.ShapeDtypeStruct((b, self.imgsz, self.imgsz, 3), jnp.uint8),
+                "cls": jax.ShapeDtypeStruct((b, max_boxes, 1), jnp.float32),
+                "bboxes": jax.ShapeDtypeStruct((b, max_boxes, 4), jnp.float32),
+                "mask": jax.ShapeDtypeStruct((b, max_boxes, 1), jnp.float32),
+            }
+            return step, (state, batch, jax.random.PRNGKey(0))
+
+        return autobatch(program, fraction=float(self.args.get("autobatch_fraction", 0.60)))
 
     # -- loop ----------------------------------------------------------------
     def train(self):
