@@ -93,4 +93,33 @@ class TestPoseTrainer:
         })
         results = trainer.train()
         assert "metrics/mAP50(B)" in results
+        assert "metrics/mAP50(P)" in results  # OKS keypoint mAP
+        assert 0.0 <= results["metrics/mAP50(P)"] <= 1.0
         assert (tmp_path / "pose" / "weights" / "last" / "weights.msgpack").exists()
+
+
+class TestKptIoU:
+    def test_perfect_match_is_one(self):
+        from yolo_ad_refine_tpu.utils.metrics_np import kpt_iou_np
+
+        rng = np.random.default_rng(0)
+        k = rng.uniform(10, 50, (3, 5, 2))
+        gt = np.concatenate([k, np.ones((3, 5, 1))], -1)
+        area = np.full(3, 400.0)
+        oks = kpt_iou_np(gt, k, area, np.ones(5) / 5)
+        np.testing.assert_allclose(np.diag(oks), 1.0, atol=1e-6)
+        # far-away preds score near zero
+        oks_far = kpt_iou_np(gt, k + 500.0, area, np.ones(5) / 5)
+        assert oks_far.max() < 1e-3
+
+    def test_invisible_keypoints_ignored(self):
+        from yolo_ad_refine_tpu.utils.metrics_np import kpt_iou_np
+
+        gt = np.zeros((1, 4, 3))
+        gt[0, :2, :2] = [[10, 10], [20, 20]]
+        gt[0, :2, 2] = 1  # only first two visible
+        pred = np.zeros((1, 4, 2))
+        pred[0, :2] = [[10, 10], [20, 20]]
+        pred[0, 2:] = 999.0  # wild but invisible -> no penalty
+        oks = kpt_iou_np(gt, pred, np.asarray([300.0]), np.ones(4) / 4)
+        np.testing.assert_allclose(oks[0, 0], 1.0, atol=1e-6)

@@ -29,7 +29,7 @@ from yolo_ad_refine_tpu.ops.boxes import scale_boxes
 from yolo_ad_refine_tpu.ops.nms import non_max_suppression
 from yolo_ad_refine_tpu.utils import LOGGER, Profile
 from yolo_ad_refine_tpu.utils.metrics import ConfusionMatrix, DetMetrics, match_predictions
-from yolo_ad_refine_tpu.utils.metrics_np import box_iou_np, probiou_np
+from yolo_ad_refine_tpu.utils.metrics_np import box_iou_np, kpt_iou_np, probiou_np
 
 
 class DetectionValidator:
@@ -71,6 +71,14 @@ class DetectionValidator:
 
         segment = self.args.get("task") == "segment"
         rotated = self.args.get("task") == "obb"
+        pose = self.args.get("task") == "pose"
+        kpt_shape, kpt_sigmas = None, None
+        if pose:
+            from yolo_ad_refine_tpu.train.pose import OKS_SIGMA
+
+            kpt_shape = tuple(getattr(model.head_spec.module, "kpt_shape", (17, 3)))
+            kpt_sigmas = (OKS_SIGMA if kpt_shape[0] == 17
+                          else np.ones(kpt_shape[0]) / kpt_shape[0])
 
         @partial(jax.jit, static_argnames=())
         def forward_nms(vars_, img):
@@ -96,6 +104,7 @@ class DetectionValidator:
 
         metrics = DetMetrics(names)
         seg_metrics = DetMetrics(names) if segment else None
+        pose_metrics = DetMetrics(names) if pose else None
         confusion = ConfusionMatrix(nc)
         loss_sum = np.zeros(3)
         n_batches = 0
@@ -129,10 +138,13 @@ class DetectionValidator:
                 det = np.asarray(jax.device_get(det))
                 cnt = np.asarray(jax.device_get(cnt))
                 angles = np.asarray(jax.device_get(extras))[..., 0] if rotated else None
+                pred_kpts = np.asarray(jax.device_get(extras)) if pose else None
             with profs["postprocess"]:
                 self._update_metrics(det, cnt, batch, metrics, confusion, imgsz,
                                      seg_metrics=seg_metrics, mask_ious=mask_ious,
-                                     angles=angles)
+                                     angles=angles, pose_metrics=pose_metrics,
+                                     pred_kpts=pred_kpts, kpt_shape=kpt_shape,
+                                     kpt_sigmas=kpt_sigmas)
             seen += len(batch["im_file"])
 
         results = metrics.process()
@@ -141,6 +153,11 @@ class DetectionValidator:
             results["metrics/mAP50(M)"] = seg_results["metrics/mAP50(B)"]
             results["metrics/mAP50-95(M)"] = seg_results["metrics/mAP50-95(B)"]
             self.seg_metrics = seg_metrics
+        if pose_metrics is not None:
+            pose_results = pose_metrics.process()
+            results["metrics/mAP50(P)"] = pose_results["metrics/mAP50(B)"]
+            results["metrics/mAP50-95(P)"] = pose_results["metrics/mAP50-95(B)"]
+            self.pose_metrics = pose_metrics
         self.metrics = metrics
         self.confusion_matrix = confusion
         if n_batches:
@@ -182,7 +199,8 @@ class DetectionValidator:
     def _update_metrics(self, det, cnt, batch, metrics: DetMetrics,
                         confusion: ConfusionMatrix, imgsz: int,
                         seg_metrics: DetMetrics | None = None, mask_ious=None,
-                        angles=None):
+                        angles=None, pose_metrics: DetMetrics | None = None,
+                        pred_kpts=None, kpt_shape=None, kpt_sigmas=None):
         rotated = angles is not None
         for i in range(det.shape[0]):
             n = int(cnt[i])
@@ -192,6 +210,15 @@ class DetectionValidator:
             mask = batch["mask"][i, :, 0] > 0
             gt_boxes = batch["bboxes"][i][mask].copy()  # letterboxed px
             gt_cls = batch["cls"][i][mask, 0]
+
+            oks = None
+            if pose_metrics is not None and n and len(gt_cls):
+                # OKS in letterboxed coords: scale-invariant (d^2 and area
+                # both carry gain^2; pads cancel in differences)
+                pk = pred_kpts[i, :n].reshape(n, *kpt_shape)
+                gk = batch["keypoints"][i][mask]
+                area = np.prod(np.clip(gt_boxes[:, 2:4] - gt_boxes[:, :2], 1, None), -1)
+                oks = kpt_iou_np(gk, pk, area * 0.53, np.asarray(kpt_sigmas))
 
             # rescale both to native space (reference _prepare_batch/_prepare_pred)
             if rotated:
@@ -222,6 +249,10 @@ class DetectionValidator:
                         seg_metrics.update_stats(
                             np.zeros((0, 10), bool), np.zeros(0), np.zeros(0), gt_cls
                         )
+                    if pose_metrics is not None:
+                        pose_metrics.update_stats(
+                            np.zeros((0, 10), bool), np.zeros(0), np.zeros(0), gt_cls
+                        )
                     if not rotated:
                         confusion.process_batch(None, gt_boxes, gt_cls)
                 continue
@@ -244,6 +275,10 @@ class DetectionValidator:
                 tp_m = (match_predictions(d[:, 5], gt_cls, miou) if n_gt
                         else np.zeros((n, 10), bool))
                 seg_metrics.update_stats(tp_m, d[:, 4], d[:, 5], gt_cls)
+            if pose_metrics is not None:
+                tp_p = (match_predictions(d[:, 5], gt_cls, oks) if oks is not None
+                        else np.zeros((n, 10), bool))
+                pose_metrics.update_stats(tp_p, d[:, 4], d[:, 5], gt_cls)
             if not rotated:  # confusion matrix is axis-aligned-only
                 confusion.process_batch(d, gt_boxes, gt_cls)
 

@@ -41,3 +41,15 @@ def probiou_np(rb1: np.ndarray, rb2: np.ndarray, eps: float = 1e-7) -> np.ndarra
     )
     bd = np.clip(t1 + t2 + t3, eps, 100.0)
     return 1.0 - np.sqrt(1.0 - np.exp(-bd) + eps)
+
+
+def kpt_iou_np(gt_kpts: np.ndarray, pred_kpts: np.ndarray, area: np.ndarray,
+               sigmas: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """OKS between (N,K,3) gt and (M,K,2+) predicted keypoints -> (N,M)
+    (numpy port of reference utils/metrics.py kpt_iou). area: (N,) gt box
+    areas; scale-invariant, so any uniformly-scaled coordinate frame works."""
+    d = ((gt_kpts[:, None, :, 0] - pred_kpts[None, :, :, 0]) ** 2
+         + (gt_kpts[:, None, :, 1] - pred_kpts[None, :, :, 1]) ** 2)  # (N,M,K)
+    mask = (gt_kpts[:, None, :, 2] > 0).astype(np.float64)
+    e = d / (2 * sigmas[None, None]) ** 2 / (area[:, None, None] + eps) / 2
+    return (np.exp(-e) * mask).sum(-1) / (mask.sum(-1) + eps)
