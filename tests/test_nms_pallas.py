@@ -27,6 +27,37 @@ class TestSuppressPallas:
             np.testing.assert_array_equal(got, ref)
             assert ref.sum() > 0
 
+    def test_unaligned_k_padding(self):
+        """K not a multiple of 128 pads with dead candidates."""
+        from yolo_ad_refine_tpu.ops.nms import _suppress
+        from yolo_ad_refine_tpu.ops.nms_pallas import suppress_pallas
+
+        rng = np.random.default_rng(11)
+        boxes, scores = _random_candidates(rng, 200)
+        ref = np.asarray(_suppress(jnp.asarray(boxes), jnp.asarray(scores), 0.45, 0.25))
+        got = np.asarray(suppress_pallas(jnp.asarray(boxes), jnp.asarray(scores),
+                                         0.45, 0.25, interpret=True))
+        assert got.shape == (200,)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_rotated_matches_lax_reference(self):
+        from yolo_ad_refine_tpu.ops.nms import _suppress_rotated
+        from yolo_ad_refine_tpu.ops.nms_pallas import suppress_rotated_pallas
+
+        for seed, k in [(0, 256), (1, 200)]:
+            rng = np.random.default_rng(seed)
+            cxy = rng.uniform(20, 180, (k, 2))
+            wh = rng.uniform(10, 50, (k, 2))
+            ang = rng.uniform(0, np.pi / 2, (k, 1))
+            rb = np.concatenate([cxy, wh, ang], -1).astype(np.float32)
+            scores = np.sort(rng.uniform(0, 1, k).astype(np.float32))[::-1].copy()
+            ref = np.asarray(_suppress_rotated(jnp.asarray(rb), jnp.asarray(scores),
+                                               0.45, 0.25))
+            got = np.asarray(suppress_rotated_pallas(jnp.asarray(rb), jnp.asarray(scores),
+                                                     0.45, 0.25, interpret=True))
+            np.testing.assert_array_equal(got, ref)
+            assert 0 < ref.sum() < k
+
     def test_conf_filter_and_dense_overlap(self):
         from yolo_ad_refine_tpu.ops.nms import _suppress
         from yolo_ad_refine_tpu.ops.nms_pallas import suppress_pallas

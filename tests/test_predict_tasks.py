@@ -54,6 +54,24 @@ class TestPredictTasks:
                                        r.obb.xyxyxyxy.min(1), atol=1e-3)
             assert r.plot().shape == r.orig_img.shape
 
+    def test_save_txt_and_json_task_formats(self, tmp_path):
+        import json
+
+        r = _run([[2, 3, 4], 1, "Pose", ["nc", [4, 3]]])
+        if len(r.boxes):
+            p = r.save_txt(tmp_path / "pose.txt", save_conf=True)
+            first = p.read_text().splitlines()[0].split()
+            assert len(first) == 1 + 4 + 4 * 3 + 1  # cls xywhn kpts conf
+            j = json.loads(r.tojson())
+            assert "keypoints" in j[0] and len(j[0]["keypoints"]["x"]) == 4
+
+        r = _run([[2, 3, 4], 1, "OBB", ["nc", 1]])
+        if len(r.boxes):
+            p = r.save_txt(tmp_path / "obb.txt")
+            assert len(p.read_text().splitlines()[0].split()) == 9  # cls + 4 corners
+            j = json.loads(r.tojson())
+            assert "rbox" in j[0]
+
     def test_detect_predict_unchanged(self):
         r = _run([[2, 3, 4], 1, "Detect", ["nc"]])
         assert r.masks is None and r.keypoints is None and r.obb is None

@@ -219,9 +219,26 @@ class Results:
         return filename
 
     def save_txt(self, txt_file: str | Path, save_conf: bool = False):
+        """YOLO-format labels: detect xywhn; obb corner quads; segment
+        polygons; pose xywhn + keypoints (reference results.py save_txt)."""
+        h, w = self.orig_shape
         lines = []
-        for x, c, conf in zip(self.boxes.xywhn, self.boxes.cls, self.boxes.conf):
-            row = (int(c), *x.tolist()) + ((float(conf),) if save_conf else ())
+        for i in range(len(self.obb if self.obb is not None else self.boxes)):
+            if self.obb is not None:
+                c, conf = int(self.obb.cls[i]), float(self.obb.conf[i])
+                coords = (self.obb.xyxyxyxy[i] / np.asarray([w, h], np.float32)).reshape(-1)
+            elif self.masks is not None and i < len(self.masks):
+                c, conf = int(self.boxes.cls[i]), float(self.boxes.conf[i])
+                coords = (self.masks.xy[i] / np.asarray([w, h], np.float32)).reshape(-1)
+            else:
+                c, conf = int(self.boxes.cls[i]), float(self.boxes.conf[i])
+                coords = self.boxes.xywhn[i]
+                if self.keypoints is not None:
+                    kd = self.keypoints.data[i].copy()
+                    kd[:, 0] /= w
+                    kd[:, 1] /= h
+                    coords = np.concatenate([coords, kd.reshape(-1)])
+            row = (c, *np.asarray(coords).tolist()) + ((conf,) if save_conf else ())
             lines.append(("%g " * len(row)).rstrip() % row)
         p = Path(txt_file)
         p.parent.mkdir(parents=True, exist_ok=True)
@@ -240,6 +257,21 @@ class Results:
             }
             if self.boxes.is_track:
                 entry["track_id"] = int(row[4])
+            i = len(out)
+            if self.keypoints is not None and i < len(self.keypoints):
+                entry["keypoints"] = {
+                    "x": self.keypoints.xy[i, :, 0].round(2).tolist(),
+                    "y": self.keypoints.xy[i, :, 1].round(2).tolist(),
+                }
+                if self.keypoints.conf is not None:
+                    entry["keypoints"]["visible"] = self.keypoints.conf[i].round(3).tolist()
+            if self.masks is not None and i < len(self.masks):
+                seg = self.masks.xy[i]
+                entry["segments"] = {"x": seg[:, 0].round(2).tolist(),
+                                     "y": seg[:, 1].round(2).tolist()}
+            if self.obb is not None and i < len(self.obb):
+                entry["rbox"] = {k: round(float(v), 3) for k, v in
+                                 zip("xywhr", self.obb.xywhr[i])}
             out.append(entry)
         return json.dumps(out, indent=2)
 

@@ -77,14 +77,24 @@ def _suppress_rotated(rboxes, scores, iou_thres, conf_thres):
 
 def _suppress_auto(boxes, scores, iou_thres, conf_thres, use_pallas):
     """Dispatch to the Pallas VMEM-resident kernel on TPU (ops/nms_pallas.py),
-    else the lax loop. use_pallas=None -> auto by backend + shape."""
+    else the lax loop. use_pallas=None -> auto by backend."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and boxes.shape[0] % 128 == 0
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from yolo_ad_refine_tpu.ops.nms_pallas import suppress_pallas
 
         return suppress_pallas(boxes, scores, iou_thres, conf_thres)
     return _suppress(boxes, scores, iou_thres, conf_thres)
+
+
+def _suppress_rotated_auto(rboxes, scores, iou_thres, conf_thres, use_pallas):
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from yolo_ad_refine_tpu.ops.nms_pallas import suppress_rotated_pallas
+
+        return suppress_rotated_pallas(rboxes, scores, iou_thres, conf_thres)
+    return _suppress_rotated(rboxes, scores, iou_thres, conf_thres)
 
 
 def _nms_single(pred, extra, conf_thres, iou_thres, max_det, max_nms, max_wh, multi_label,
@@ -118,7 +128,7 @@ def _nms_single(pred, extra, conf_thres, iou_thres, max_det, max_nms, max_wh, mu
         angle = extra[anchor_idx][:, :1]  # (K,1)
         rb = jnp.concatenate([cand_boxes[:, :2] + offset[:, None], cand_boxes[:, 2:4],
                               angle], axis=-1)
-        keep = _suppress_rotated(rb, top_scores, iou_thres, conf_thres)
+        keep = _suppress_rotated_auto(rb, top_scores, iou_thres, conf_thres, use_pallas)
     else:
         cand_boxes = xywh2xyxy(boxes_xywh[anchor_idx])  # (K,4)
         keep = _suppress_auto(cand_boxes + offset[:, None], top_scores, iou_thres,

@@ -78,6 +78,96 @@ def _suppress_kernel(boxes_ref, scores_ref, keep_ref, *, iou_thres, conf_thres):
     keep_ref[:] = keep
 
 
+def _suppress_rotated_kernel(planes_ref, scores_ref, keep_ref, *, iou_thres, conf_thres):
+    """Rotated greedy NMS via probiou, same structure as _suppress_kernel.
+    planes_ref: (6, R, 128) = [x, y, cov_a, cov_b, cov_c, sqrt-term] of the
+    candidate Gaussians (precomputed by the wrapper); scores descending."""
+    eps = 1e-7
+    x = planes_ref[0]
+    y = planes_ref[1]
+    a = planes_ref[2]
+    b = planes_ref[3]
+    c = planes_ref[4]
+    sq = planes_ref[5]  # clip(a*b - c^2, 0)
+    scores = scores_ref[:]
+    r = scores.shape[0]
+    k = r * LANES
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    idx = row * LANES + col
+
+    def body(i, state):
+        alive, keep = state
+        onehot = (idx == i).astype(jnp.float32)
+        x1 = jnp.sum(x * onehot)
+        y1 = jnp.sum(y * onehot)
+        a1 = jnp.sum(a * onehot)
+        b1 = jnp.sum(b * onehot)
+        c1 = jnp.sum(c * onehot)
+        sq1 = jnp.sum(sq * onehot)
+        cs = jnp.sum(scores * onehot)
+        calive = jnp.sum(alive * onehot)
+        cur_valid = jnp.where((calive > 0.5) & (cs > conf_thres), 1.0, 0.0)
+
+        # probiou of candidate i vs every slot (ops/iou.py:probiou math)
+        ab_sum = (a1 + a) * (b1 + b) - (c1 + c) ** 2
+        denom = ab_sum + eps
+        t1 = ((a1 + a) * (y1 - y) ** 2 + (b1 + b) * (x1 - x) ** 2) / denom * 0.25
+        t2 = ((c1 + c) * (x - x1) * (y1 - y)) / denom * 0.5
+        t3 = 0.5 * jnp.log(ab_sum / (4.0 * jnp.sqrt(sq1 * sq) + eps) + eps)
+        bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+        iou = 1.0 - jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+
+        kill = jnp.where((idx > i) & (iou > iou_thres), cur_valid, 0.0)
+        alive = alive * (1.0 - kill)
+        keep = keep + onehot * cur_valid
+        return alive, keep
+
+    alive0 = jnp.ones((r, LANES), jnp.float32)
+    keep0 = jnp.zeros((r, LANES), jnp.float32)
+    _, keep = jax.lax.fori_loop(0, k, body, (alive0, keep0))
+    keep_ref[:] = keep
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thres", "conf_thres", "interpret"))
+def suppress_rotated_pallas(rboxes, scores, iou_thres: float, conf_thres: float,
+                            interpret: bool = False):
+    """Rotated greedy NMS keep-mask via the Pallas probiou kernel.
+
+    Args:
+        rboxes: (K, 5) xywhr, centers already class-offset, descending-score
+            order.
+    Returns keep (K,) bool, identical to ops.nms._suppress_rotated.
+    """
+    from jax.experimental import pallas as pl
+
+    k = rboxes.shape[0]
+    pad = (-k) % LANES
+    if pad:
+        dead = jnp.zeros((pad, 5), rboxes.dtype).at[:, 2:4].set(1.0)  # unit
+        rboxes = jnp.concatenate([rboxes, dead])  # boxes far from everything
+        scores = jnp.concatenate([scores, jnp.full((pad,), -1.0, scores.dtype)])
+    kp = k + pad
+    r = kp // LANES
+    rb = rboxes.astype(jnp.float32)
+    w2, h2 = rb[:, 2] ** 2 / 12.0, rb[:, 3] ** 2 / 12.0
+    cos, sin = jnp.cos(rb[:, 4]), jnp.sin(rb[:, 4])
+    a = w2 * cos**2 + h2 * sin**2
+    b = w2 * sin**2 + h2 * cos**2
+    c = (w2 - h2) * cos * sin
+    sq = jnp.clip(a * b - c**2, 0.0, None)
+    planes = jnp.stack([rb[:, 0], rb[:, 1], a, b, c, sq]).reshape(6, r, LANES)
+    sc = scores.astype(jnp.float32).reshape(r, LANES)
+    keep = pl.pallas_call(
+        functools.partial(_suppress_rotated_kernel, iou_thres=iou_thres,
+                          conf_thres=conf_thres),
+        out_shape=jax.ShapeDtypeStruct((r, LANES), jnp.float32),
+        interpret=interpret,
+    )(planes, sc)
+    return keep.reshape(kp)[:k] > 0.5
+
+
 @functools.partial(jax.jit, static_argnames=("iou_thres", "conf_thres", "interpret"))
 def suppress_pallas(boxes, scores, iou_thres: float, conf_thres: float,
                     interpret: bool = False):
@@ -92,9 +182,12 @@ def suppress_pallas(boxes, scores, iou_thres: float, conf_thres: float,
     from jax.experimental import pallas as pl
 
     k = boxes.shape[0]
-    if k % LANES:
-        raise ValueError(f"suppress_pallas needs K % {LANES} == 0, got {k}")
-    r = k // LANES
+    pad = (-k) % LANES  # pad the tail with dead candidates (score -1 never
+    if pad:             # passes conf, empty boxes never overlap)
+        boxes = jnp.concatenate([boxes, jnp.zeros((pad, 4), boxes.dtype)])
+        scores = jnp.concatenate([scores, jnp.full((pad,), -1.0, scores.dtype)])
+    kp = k + pad
+    r = kp // LANES
     planes = boxes.astype(jnp.float32).T.reshape(4, r, LANES)
     sc = scores.astype(jnp.float32).reshape(r, LANES)
     keep = pl.pallas_call(
@@ -102,4 +195,4 @@ def suppress_pallas(boxes, scores, iou_thres: float, conf_thres: float,
         out_shape=jax.ShapeDtypeStruct((r, LANES), jnp.float32),
         interpret=interpret,
     )(planes, sc)
-    return keep.reshape(k) > 0.5
+    return keep.reshape(kp)[:k] > 0.5
