@@ -61,6 +61,25 @@ class TestSegDataset:
         # mask indices only where an instance exists; index <= n instances
         assert b["masks"].max() <= 2
 
+    def test_mosaic_polygon_warping(self, seg_dataset):
+        """Mosaic + affine path: polygons warped with the image, boxes hull
+        the final polygons, masks render from warped polygons."""
+        from yolo_ad_refine_tpu.data import DataLoader, YOLODataset
+
+        ds = YOLODataset(seg_dataset / "images", imgsz=64, augment=True,
+                         hyp={"mosaic": 1.0, "scale": 0.5, "translate": 0.1,
+                              "fliplr": 0.5}, nc=2, max_boxes=16,
+                         task="segment", cache=False)
+        s = ds.get_sample(0, rng=np.random.default_rng(3), mosaic=True)
+        assert s["img"].shape == (64, 64, 3)
+        assert len(s["segments"]) == len(s["bboxes"]) == len(s["cls"])
+        for poly, box in zip(s["segments"], s["bboxes"]):
+            assert poly[:, 0].min() >= box[0] - 1e-3
+            assert poly[:, 1].max() <= box[3] + 1e-3
+            assert 0 <= poly.min() and poly.max() <= 64
+        b = next(iter(DataLoader(ds, batch_size=2, shuffle=False)))
+        assert b["masks"].shape == (2, 16, 16)
+
     def test_index_mask_rendering(self):
         from yolo_ad_refine_tpu.train.segment import polygons_to_index_mask
 

@@ -175,6 +175,86 @@ def mosaic4(items, imgsz: int, rng: np.random.Generator):
     return canvas, boxes.astype(np.float32), cls
 
 
+def mosaic4_segments(items, imgsz: int, rng: np.random.Generator):
+    """4-image mosaic for segmentation (reference augment.py:489 with
+    segments): items = (img BGR, polygons [(P,2) px], cls). Polygons ride
+    the same per-tile offsets as boxes; clipping happens after the affine."""
+    s = imgsz
+    yc = int(rng.uniform(s // 2, 3 * s // 2))
+    xc = int(rng.uniform(s // 2, 3 * s // 2))
+    canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+    all_polys, all_cls = [], []
+    for i, (img, polys, cls) in enumerate(items):
+        h, w = img.shape[:2]
+        if i == 0:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+        elif i == 1:
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b = 0, h - (y2a - y1a)
+        elif i == 2:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b = w - (x2a - x1a), 0
+        else:
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b = 0, 0
+        canvas[y1a:y2a, x1a:x2a] = img[y1b : y1b + (y2a - y1a), x1b : x1b + (x2a - x1a)]
+        padw, padh = x1a - x1b, y1a - y1b
+        off = np.asarray([padw, padh], np.float32)
+        for p, c in zip(polys, cls):
+            all_polys.append(p + off)
+            all_cls.append(c)
+    return canvas, all_polys, np.asarray(all_cls, np.float32)
+
+
+def random_perspective_segments(img, segments, cls, rng: np.random.Generator,
+                                degrees: float = 0.0, translate: float = 0.1,
+                                scale: float = 0.5, shear: float = 0.0,
+                                perspective: float = 0.0, border=(0, 0)):
+    """random_perspective with polygon warping (reference augment.py:1026:
+    segments are transformed point-wise, boxes recomputed from the warped
+    polygons, degenerate instances dropped)."""
+    height = img.shape[0] + border[0] * 2
+    width = img.shape[1] + border[1] * 2
+    # same matrix chain as random_perspective
+    C = np.eye(3)
+    C[0, 2] = -img.shape[1] / 2
+    C[1, 2] = -img.shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+    M = T @ S @ R @ P @ C
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if perspective:
+            img = cv2.warpPerspective(img, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+
+    out_polys, out_cls = [], []
+    for poly, c in zip(segments, cls):
+        xy = np.ones((len(poly), 3), np.float64)
+        xy[:, :2] = poly
+        xy = xy @ M.T
+        xy = xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]
+        xy[:, 0] = xy[:, 0].clip(0, width)
+        xy[:, 1] = xy[:, 1].clip(0, height)
+        w_, h_ = xy[:, 0].max() - xy[:, 0].min(), xy[:, 1].max() - xy[:, 1].min()
+        if w_ > 2 and h_ > 2:  # drop degenerate/off-canvas instances
+            out_polys.append(xy.astype(np.float32))
+            out_cls.append(c)
+    return img, out_polys, np.asarray(out_cls, np.float32)
+
+
 def mixup(img1, boxes1, cls1, img2, boxes2, cls2, rng: np.random.Generator):
     """beta(32,32) image blend, labels concatenated (reference augment.py:866)."""
     r = rng.beta(32.0, 32.0)

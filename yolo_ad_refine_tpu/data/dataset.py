@@ -388,9 +388,53 @@ class YOLODataset:
             "im_file": self.im_files[i % len(self)],
         }
 
+    def _load_segment_item(self, i: int):
+        """(img resized, polygons px, cls) for mosaic assembly."""
+        img, _, cls, _ = self.load_item(i, with_shape=True)
+        h, w = img.shape[:2]
+        polys = [s * np.asarray([w, h], np.float32)
+                 for s in self.labels[i].get("segments", [])]
+        return img, polys, cls
+
     def _get_segment_sample(self, i: int, rng: np.random.Generator):
-        """Segment-task sample: letterbox + flips, polygons transformed with
-        the boxes (mosaic/affine for segments lands with polygon warping)."""
+        """Segment-task sample. Train: mosaic4 + affine with point-wise
+        polygon warping (reference augment.py Mosaic/RandomPerspective with
+        segments); else letterbox. Boxes are recomputed from the final
+        polygons."""
+        hyp = self.hyp
+        if self.augment and self.mosaic_enabled and rng.random() < hyp.get("mosaic", 1.0):
+            idxs = [i] + list(rng.integers(0, len(self), 3))
+            items = [self._load_segment_item(j) for j in idxs]
+            img, segments, cls = A.mosaic4_segments(items, self.imgsz, rng)
+            img, segments, cls = A.random_perspective_segments(
+                img, segments, cls, rng,
+                degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
+                scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
+                perspective=hyp.get("perspective", 0.0),
+                border=(-self.imgsz // 2, -self.imgsz // 2),
+            )
+            img = np.ascontiguousarray(img)
+            A.augment_hsv(img, rng, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7),
+                          hyp.get("hsv_v", 0.4))
+            if rng.random() < hyp.get("fliplr", 0.5):
+                img = np.ascontiguousarray(np.fliplr(img))
+                segments = [np.stack([img.shape[1] - s[:, 0], s[:, 1]], -1)
+                            for s in segments]
+            boxes = (
+                np.stack([
+                    np.asarray([s[:, 0].min(), s[:, 1].min(), s[:, 0].max(), s[:, 1].max()])
+                    for s in segments
+                ]) if segments else np.zeros((0, 4), np.float32)
+            )
+            return {
+                "img": img,
+                "bboxes": boxes.astype(np.float32),
+                "cls": np.asarray(cls, np.float32),
+                "segments": segments,
+                "ori_shape": (self.imgsz, self.imgsz),
+                "ratio_pad": ((1.0, 1.0), (0.0, 0.0)),
+                "im_file": self.im_files[i % len(self)],
+            }
         img, _, cls, (h0, w0) = self.load_item(i, with_shape=True)
         r1 = img.shape[0] / h0
         h, w = img.shape[:2]
