@@ -80,10 +80,21 @@ class DetectionValidator:
             kpt_sigmas = (OKS_SIGMA if kpt_shape[0] == 17
                           else np.ones(kpt_shape[0]) / kpt_shape[0])
 
+        nms_free = getattr(getattr(model, "head_spec", None), "name", "") == "v10Detect"
+
         @partial(jax.jit, static_argnames=())
         def forward_nms(vars_, img):
             img = img.astype(model.dtype) / 255.0
             y, feats = model.graph.apply(vars_, img, train=False)
+            if nms_free:
+                # v10: y is already (B, max_det, 6) xywh+conf+cls, score-sorted
+                from yolo_ad_refine_tpu.ops.boxes import xywh2xyxy
+
+                det = jnp.concatenate([xywh2xyxy(y[..., :4]), y[..., 4:6]], -1)
+                keep = y[..., 4] > float(conf)
+                det = det * keep[..., None]
+                cnt = jnp.sum(keep, axis=-1).astype(jnp.int32)
+                return det, cnt, jnp.zeros((*det.shape[:2], 0), det.dtype), feats
             det, cnt, _extra = non_max_suppression(
                 y, conf_thres=float(conf), iou_thres=iou, max_det=max_det,
                 multi_label=True, nc=nc, rotated=rotated,

@@ -168,3 +168,21 @@ class DetectionLoss:
             [loss_box * self.gains[0], loss_cls * self.gains[1], loss_dfl * self.gains[2]]
         )
         return LossOutputs(jnp.sum(comps) * b, jax.lax.stop_gradient(comps))
+
+
+class E2EDetectLoss:
+    """YOLOv10 dual-assignment loss (reference utils/loss.py E2EDetectLoss):
+    the one2many branch trains with TAL topk=10, the gradient-detached
+    one2one branch with topk=1 (consistent dual assignment, arXiv:2405.14458).
+    Totals and components are the sums of both branches."""
+
+    def __init__(self, nc: int, strides, **kw):
+        self.one2many = DetectionLoss(nc, strides, tal_topk=10, **kw)
+        self.one2one = DetectionLoss(nc, strides, tal_topk=1, **kw)
+
+    def __call__(self, preds, gt_labels, gt_bboxes, mask_gt) -> LossOutputs:
+        """preds = {'one2many': feats, 'one2one': feats} — the v10Detect
+        head's train output (eval returns the same dict as its 2nd value)."""
+        m = self.one2many(preds["one2many"], gt_labels, gt_bboxes, mask_gt)
+        o = self.one2one(preds["one2one"], gt_labels, gt_bboxes, mask_gt)
+        return LossOutputs(m.total + o.total, m.components + o.components)

@@ -176,6 +176,12 @@ class DetectionTrainer:
             # OBBLoss consumes the head's full (feats, angle) train output,
             # which the eval path also returns — reuse it for val loss
             self.val_loss_fn = self.loss_fn
+        elif getattr(self.model.head_spec, "name", "") == "v10Detect":
+            from yolo_ad_refine_tpu.train.loss import E2EDetectLoss
+
+            self.loss_fn = E2EDetectLoss(nc=data["nc"], strides=self.model.strides, **gains)
+            self.extra_loss_keys = ()
+            self.val_loss_fn = self.loss_fn  # eval also returns the branch dict
         else:
             self.loss_fn = DetectionLoss(nc=data["nc"], strides=self.model.strides, **gains)
             self.extra_loss_keys = ()
