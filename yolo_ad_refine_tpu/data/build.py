@@ -23,13 +23,16 @@ from yolo_ad_refine_tpu.utils import LOGGER, NUM_THREADS
 def collate(samples: list[dict], max_boxes: int) -> dict:
     """Stack samples into fixed-shape numpy batch arrays.
 
-    img: (B,H,W,3) uint8 BGR; cls: (B,N,1) f32; bboxes: (B,N,4) xyxy px;
-    mask: (B,N,1). Overflowing boxes are truncated (capped), mirroring the
-    static-shape requirement (SURVEY.md §7 hard part 7).
+    img: (B,H,W,3) uint8 RGB — the BGR->RGB flip happens HERE, once, matching
+    the reference Format transform (augment.py:1920 Format: HWC-BGR -> RGB),
+    so train, val, predict and track all consume the same channel order;
+    cls: (B,N,1) f32; bboxes: (B,N,4) xyxy px; mask: (B,N,1). Overflowing
+    boxes are truncated (capped), mirroring the static-shape requirement
+    (SURVEY.md §7 hard part 7).
     """
     b = len(samples)
     h, w = samples[0]["img"].shape[:2]
-    img = np.stack([s["img"] for s in samples])
+    img = np.stack([s["img"][..., ::-1] for s in samples])  # BGR -> RGB
     cls = np.zeros((b, max_boxes, 1), np.float32)
     bw = samples[0]["bboxes"].shape[-1]  # 4 (xyxy) or 5 (xywhr for obb)
     bboxes = np.zeros((b, max_boxes, bw), np.float32)

@@ -127,7 +127,18 @@ class YOLODataset:
     def _load_labels(self, cache: bool) -> list[dict]:
         cache_path = None
         if cache and len(self.im_files) > 1:
-            h = hashlib.sha1("".join(self.im_files).encode()).hexdigest()[:16]
+            # key = version + task + image list + label file sizes/mtimes, so a
+            # task switch or an edited label file invalidates the cache
+            # (mirrors the reference's cache hash+version check, data/utils.py:167)
+            key = hashlib.sha1(f"v2:{self.task}:".encode())
+            key.update("".join(self.im_files).encode())
+            for lf in self.label_files:
+                try:
+                    st = Path(lf).stat()
+                    key.update(f"{st.st_size}:{st.st_mtime_ns};".encode())
+                except OSError:
+                    key.update(b"missing;")
+            h = key.hexdigest()[:16]
             cache_path = Path(self.im_files[0]).parent / f".yat_labels_{h}.npz"
             if cache_path.exists():
                 try:

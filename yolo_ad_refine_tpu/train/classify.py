@@ -97,8 +97,7 @@ class ClassificationTrainer:
             weight_decay=float(args["weight_decay"]), epochs=epochs, nb=nb, batch=batch,
             warmup_epochs=float(args.get("warmup_epochs", 3.0)), nc=nc,
         )
-        if accumulate > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+        del accumulate  # accumulation handled inside build_optimizer
 
         from yolo_ad_refine_tpu.train.step import TrainState
 

@@ -82,17 +82,26 @@ def build_optimizer(params, *, optimizer: str = "auto", lr0: float = 0.01, lrf: 
                     cos_lr: bool = False, nc: int = 80, grad_clip: float = 10.0):
     """Build the optax transform + the accumulation count.
 
-    Returns (tx, accumulate). 'auto' replicates trainer.py:771-781: SGD when
-    total iterations > 10k, else AdamW with the lr/momentum fit formula.
+    Returns (tx, accumulate, lr_fns). 'auto' replicates trainer.py:771-781:
+    SGD when total iterations > 10k, else AdamW with the lr/momentum fit
+    formula; BOTH auto branches use momentum=0.9 and warmup_bias_lr=0.0
+    (reference trainer.py:786-789).
+
+    Accumulation (accumulate = round(nbs/batch) > 1) is handled HERE with the
+    reference's SUM semantics: micro-gradients are pre-scaled by `accumulate`
+    so optax.MultiSteps' running mean equals the reference's summed backward
+    accumulation (its loss.sum()*batch_size convention assumes summing), and
+    the inner schedules — which advance once per OPTIMIZER step — are fed
+    `step * accumulate` so warmup/decay track real batches/epochs.
     """
     iterations = epochs * nb
     if optimizer == "auto":
+        warmup_bias_lr = 0.0  # trainer.py:789 (both auto branches)
         if iterations > 10000:
-            optimizer = "SGD"
+            optimizer, momentum = "SGD", 0.9
         else:
             optimizer, lr0, momentum = "AdamW", round(0.002 * 5 / (4 + nc), 6), 0.9
             lrf = max(lrf, 0.01)
-            warmup_bias_lr = 0.0  # trainer.py:789
 
     # weight-decay scaled like the reference: wd * batch * accumulate / nbs
     accumulate = max(round(nbs / batch), 1)
@@ -101,8 +110,12 @@ def build_optimizer(params, *, optimizer: str = "auto", lr0: float = 0.01, lrf: 
     labels = jax.tree_util.tree_map_with_path(lambda p, x: param_group_label(p, x), params)
 
     def group_tx(warmup_start: float, use_wd: bool):
-        lr_fn = make_lr_fn(lr0, lrf, epochs, nb, warmup_epochs, warmup_start, cos_lr)
-        mom_fn = make_momentum_fn(momentum, warmup_momentum, warmup_epochs, nb)
+        lr_b = make_lr_fn(lr0, lrf, epochs, nb, warmup_epochs, warmup_start, cos_lr)
+        mom_b = make_momentum_fn(momentum, warmup_momentum, warmup_epochs, nb)
+        # inner schedules see optimizer steps (one per `accumulate` batches
+        # under MultiSteps); convert back to batch units
+        lr_fn = (lambda s: lr_b(s * accumulate)) if accumulate > 1 else lr_b
+        mom_fn = (lambda s: mom_b(s * accumulate)) if accumulate > 1 else mom_b
         if optimizer in ("SGD",):
             def make(lr, mom):
                 chain = [optax.add_decayed_weights(wd)] if use_wd else []
@@ -127,6 +140,11 @@ def build_optimizer(params, *, optimizer: str = "auto", lr0: float = 0.01, lrf: 
         labels,
     )
     tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if accumulate > 1:
+        # scale micro-grads by k so MultiSteps' mean == reference's sum;
+        # clip-at-10 then applies to the accumulated gradient, matching the
+        # reference order (accumulate -> unscale -> clip -> step)
+        tx = optax.chain(optax.scale(float(accumulate)), optax.MultiSteps(tx, accumulate))
     # per-group lr schedules, for logging (results.csv lr/pg0-2 schema)
     lr_fns = {
         "pg0": make_lr_fn(lr0, lrf, epochs, nb, warmup_epochs, 0.0, cos_lr),       # decay

@@ -3,7 +3,7 @@
 Replaces the reference's eager batch loop body (engine/trainer.py:367-427:
 autocast forward -> scaled backward -> accumulate -> clip -> step -> EMA)
 with a single XLA program: forward+loss (bf16 compute / f32 math), grads,
-optax update (incl. clip + accumulation via optax.MultiSteps upstream), EMA
+optax update (incl. clip + sum-semantics accumulation, built in optim.py), EMA
 of params and BN stats. DDP's implicit gradient allreduce becomes sharding:
 under a Mesh the batch is sharded on the 'data' axis and XLA inserts the
 psum during autodiff (see parallel/).
@@ -58,13 +58,17 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999,
-                    ema_tau: float = 2000.0, extra_loss_keys: tuple = ()):
+                    ema_tau: float = 2000.0, extra_loss_keys: tuple = (),
+                    accumulate: int = 1):
     """Build the pure train_step(state, batch, rng) -> (state, metrics).
 
     batch = {'img': (B,H,W,3) float in [0,1] or uint8, 'cls': (B,N,1),
              'bboxes': (B,N,4) xyxy px, 'mask': (B,N,1), *extra_loss_keys}.
     extra_loss_keys (e.g. ('masks',) for segment, ('keypoints',) for pose)
     are passed positionally to the loss after the standard targets.
+    accumulate: gradient-accumulation count (optax.MultiSteps inside tx);
+    the EMA advances only on real optimizer steps, matching the reference
+    (ModelEMA.update is called inside optimizer_step, trainer.py:580-588).
     """
 
     def loss_and_updates(params, batch_stats, batch, rng):
@@ -87,11 +91,17 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype), state.params, updates)
 
-        new_ema_updates = state.ema_updates + 1.0
-        new_ema_params = ema_update(state.ema_params, new_params, new_ema_updates,
-                                    ema_decay, ema_tau)
-        new_ema_stats = ema_update(state.ema_batch_stats, new_stats, new_ema_updates,
-                                   ema_decay, ema_tau)
+        if accumulate > 1:
+            is_opt_step = ((state.step + 1) % accumulate == 0).astype(jnp.float32)
+        else:
+            is_opt_step = jnp.float32(1.0)
+        new_ema_updates = state.ema_updates + is_opt_step
+        ema_fn = lambda e, v, upd: jax.tree.map(  # noqa: E731
+            lambda a, b: a + is_opt_step * (b - a),
+            e, ema_update(e, v, upd, ema_decay, ema_tau),
+        )
+        new_ema_params = ema_fn(state.ema_params, new_params, new_ema_updates)
+        new_ema_stats = ema_fn(state.ema_batch_stats, new_stats, new_ema_updates)
 
         new_state = state.replace(
             params=new_params,

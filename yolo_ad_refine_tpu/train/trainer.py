@@ -71,6 +71,16 @@ def multi_scale_batch(batch: dict, imgsz: int, rng: np.random.Generator) -> dict
     out["img"] = imgs
     out["bboxes"] = batch["bboxes"].copy()
     out["bboxes"][..., :4] *= scale  # col 4 (obb angle) is scale-invariant
+    if "keypoints" in batch:  # pose GT rides the same resize
+        out["keypoints"] = batch["keypoints"].copy()
+        out["keypoints"][..., :2] *= scale
+    if "masks" in batch:  # segment index masks track the proto size (H/4)
+        mh = sz // 4
+        out["masks"] = np.stack([
+            # cv2 can't resize int32; instance indices fit uint16 (max_boxes < 65536)
+            cv2.resize(m.astype(np.uint16), (mh, mh), interpolation=cv2.INTER_NEAREST)
+            for m in batch["masks"]
+        ]).astype(batch["masks"].dtype)
     return out
 
 
@@ -197,8 +207,9 @@ class DetectionTrainer:
             warmup_bias_lr=float(args.get("warmup_bias_lr", 0.1)),
             cos_lr=bool(args.get("cos_lr", False)), nc=data["nc"],
         )
-        if accumulate > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+        # accumulation (sum semantics) + schedule unit mapping live inside
+        # build_optimizer; the step only needs the count for EMA gating
+        self.accumulate = accumulate
         self.tx = tx
         self.state = TrainState.create(self.model.variables, tx)
 
@@ -220,7 +231,8 @@ class DetectionTrainer:
 
         self.mesh = make_mesh_for_batch(self.batch_size)
         step = make_train_step(self.model.graph, self.loss_fn, tx,
-                               extra_loss_keys=self.extra_loss_keys)
+                               extra_loss_keys=self.extra_loss_keys,
+                               accumulate=self.accumulate)
         self.train_step = make_parallel_train_step(step, self.mesh)
 
         self.validator = DetectionValidator(args={

@@ -59,7 +59,8 @@ def plot_images(images: np.ndarray, bboxes, cls, mask=None, names: dict | None =
                 fname: str | Path = "batch.jpg", max_images: int = 16):
     """Batch mosaic with drawn boxes (reference plotting.py plot_images).
 
-    images: (B,H,W,3) uint8 (BGR); bboxes: (B,N,4) xyxy px; cls: (B,N,1)."""
+    images: (B,H,W,3) uint8 RGB (collate order); bboxes: (B,N,4) xyxy px;
+    cls: (B,N,1). Saved via cv2 (BGR), so the canvas is flipped on write."""
     import cv2
 
     b = min(len(images), max_images)
@@ -79,7 +80,7 @@ def plot_images(images: np.ndarray, bboxes, cls, mask=None, names: dict | None =
             cv2.putText(im, label, (p1[0], max(p1[1] - 2, 8)), 0, 0.3, color(int(k)), 1)
         canvas[r * h : (r + 1) * h, c * w : (c + 1) * w] = im
     Path(fname).parent.mkdir(parents=True, exist_ok=True)
-    cv2.imwrite(str(fname), canvas)
+    cv2.imwrite(str(fname), canvas[..., ::-1])  # RGB canvas -> BGR file
     return Path(fname)
 
 
