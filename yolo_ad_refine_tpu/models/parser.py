@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from yolo_ad_refine_tpu.nn import block as B
 from yolo_ad_refine_tpu.nn import common as C
+from yolo_ad_refine_tpu.nn import conv_extras as CE
 from yolo_ad_refine_tpu.nn import head as H
 from yolo_ad_refine_tpu.nn import transformer as TR
 from yolo_ad_refine_tpu.nn import tssa as T
@@ -41,13 +42,17 @@ HEAD_MODULES = {"Detect", "AYHead", "AYHead1", "Classify", "Segment", "Pose", "O
                 "v10Detect", "WorldDetect", "RTDETRDecoder"}
 # modules whose first yaml arg is an out-channel subject to width scaling
 WIDTH_SCALED = {
-    "Conv", "DWConv", "SPPF", "C2f", "C3", "C3k2", "C2PSA",
+    "Conv", "DWConv", "SPPF", "SPP", "C2f", "C3", "C3k2", "C2PSA",
     "C3k2_MLCA", "C2TSSA_DYT_Mona_EDFFN", "C2SFA", "C2PTSSA",
     "nn.Conv2d", "nn.ConvTranspose2d",
+    # conv extras + v10 blocks (nn/conv_extras.py)
+    "Conv2", "LightConv", "Focus", "GhostConv", "RepConv",
+    "SCDown", "C2fCIB", "PSA", "Bottleneck",
 }
 # CSP-family modules that receive the repeat count as constructor arg n
 REPEAT_MODULES = {
     "C2f", "C3", "C3k2", "C2PSA", "C3k2_MLCA", "C2TSSA_DYT_Mona_EDFFN", "C2SFA", "C2PTSSA",
+    "C2fCIB",
 }
 
 
@@ -168,6 +173,41 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
                 module = C.DWConv(c2, k, s, d=d_, act=act, dtype=dtype)
             elif name == "SPPF":
                 module = B.SPPF(c2, rest[0] if rest else 5, dtype=dtype)
+            elif name == "SPP":
+                module = B.SPP(c2, tuple(rest[0]) if rest else (5, 9, 13), dtype=dtype)
+            elif name == "Bottleneck":
+                shortcut = rest[0] if rest else True
+                if n > 1:  # v3-style repeated rows: n distinct blocks chained
+                    module = B.SequentialBlocks(tuple(
+                        B.Bottleneck(c2, shortcut, dtype=dtype) for _ in range(n)
+                    ))
+                else:
+                    module = B.Bottleneck(c2, shortcut, dtype=dtype)
+                n = 1
+            elif name == "Conv2":
+                module = CE.Conv2(c2, rest[0] if rest else 3,
+                                  rest[1] if len(rest) > 1 else 1, dtype=dtype)
+            elif name == "LightConv":
+                module = CE.LightConv(c2, rest[0] if rest else 1, dtype=dtype)
+            elif name == "Focus":
+                module = CE.Focus(c2, rest[0] if rest else 1,
+                                  rest[1] if len(rest) > 1 else 1, dtype=dtype)
+            elif name == "GhostConv":
+                module = CE.GhostConv(c2, rest[0] if rest else 1,
+                                      rest[1] if len(rest) > 1 else 1, dtype=dtype)
+            elif name == "RepConv":
+                module = CE.RepConv(c2, rest[0] if rest else 3,
+                                    rest[1] if len(rest) > 1 else 1, dtype=dtype)
+            elif name == "SCDown":
+                module = CE.SCDown(c2, rest[0] if rest else 3,
+                                   rest[1] if len(rest) > 1 else 2, dtype=dtype)
+            elif name == "C2fCIB":
+                shortcut = rest[0] if rest else False
+                lk = rest[1] if len(rest) > 1 else False
+                module = CE.C2fCIB(c2, n=n, shortcut=shortcut, lk=lk, dtype=dtype)
+                n = 1
+            elif name == "PSA":
+                module = CE.PSA(c2, rest[0] if rest else 0.5, dtype=dtype)
             elif name in ("C2f", "C3"):
                 shortcut = rest[0] if rest else (name == "C3")
                 cls = B.C2f if name == "C2f" else B.C3
@@ -228,8 +268,41 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
         elif name == "RTDETRDecoder":
             head_ch = tuple(ch_list[x] for x in f)
             head_nc = args[0] if args else nc
-            module = TR.RTDETRDecoder(nc=head_nc, ch=head_ch, dtype=dtype)
+            # optional extras beyond the stock yaml ([nc]): hd, nq, ndl, d_ffn
+            # (lets tiny test configs shrink the decoder; stock yamls unaffected)
+            extra = {}
+            for key, val in zip(("hd", "nq", "ndl", "d_ffn"), args[1:]):
+                extra[key] = int(val)
+            module = TR.RTDETRDecoder(nc=head_nc, ch=head_ch, dtype=dtype, **extra)
             c2 = 0
+        elif name in ("RepNCSPELAN4", "ELAN1", "ADown", "AConv", "SPPELAN"):
+            c1 = ch_list[f]
+            c2 = args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            if name == "RepNCSPELAN4":
+                c3, c4 = args[1], args[2]
+                rep_n = args[3] if len(args) > 3 else 1
+                module = CE.RepNCSPELAN4(c2, c3, c4, n=max(round(rep_n * depth), 1),
+                                         dtype=dtype)
+            elif name == "ELAN1":
+                module = CE.ELAN1(c2, args[1], args[2], dtype=dtype)
+            elif name == "ADown":
+                module = CE.ADown(c2, dtype=dtype)
+            elif name == "AConv":
+                module = CE.AConv(c2, dtype=dtype)
+            else:  # SPPELAN
+                module = CE.SPPELAN(c2, args[1], args[2] if len(args) > 2 else 5,
+                                    dtype=dtype)
+            del c1
+        elif name in ("CBAM", "ChannelAttention", "SpatialAttention"):
+            c2 = ch_list[f]  # channel-preserving attention gates
+            if name == "CBAM":
+                module = CE.CBAM(args[1] if len(args) > 1 else 7, dtype=dtype)
+            elif name == "ChannelAttention":
+                module = CE.ChannelAttention(dtype=dtype)
+            else:
+                module = CE.SpatialAttention(args[0] if args else 7, dtype=dtype)
         elif name == "ELA_HSFPN":
             c2 = ch_list[f]
             flag = args[0] if args else True
@@ -281,6 +354,8 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
             if name == "Segment":
                 nm = args[1] if len(args) > 1 else 32
                 npr = args[2] if len(args) > 2 else 256
+                # reference tasks.py:1041: proto channels are width-scaled
+                npr = make_divisible(min(npr, max_channels) * width, 8)
                 module = H.Segment(nc=head_nc, nm=nm, npr=npr, ch=head_ch, dtype=dtype)
             elif name == "Pose":
                 kpt_shape = tuple(args[1]) if len(args) > 1 else (17, 3)

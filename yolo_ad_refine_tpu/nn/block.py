@@ -42,8 +42,11 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y = Conv(c_, self.k[0], 1, dtype=self.dtype, name="cv1")(x, train)
-        y = Conv(self.c2, self.k[1], 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        # k entries may be ints (C3k/C2f style) or square tuples (C3's
+        # ((1,1),(3,3)) — reference block.py:256); square kernels only
+        k0, k1 = (k if isinstance(k, int) else k[0] for k in self.k)
+        y = Conv(c_, k0, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, k1, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
         return x + y if self.shortcut and x.shape[-1] == self.c2 else y
 
 
@@ -124,6 +127,40 @@ class C3k2(C2f):
         if self.c3k:
             return C3k(c, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m{i}")
         return Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=0.5, dtype=self.dtype, name=f"m{i}")
+
+
+@register
+class SequentialBlocks(nn.Module):
+    """Chain of adopted submodules — the parser's replacement for the
+    reference's ``nn.Sequential(*(m(*args) for _ in range(n)))`` wrapping of
+    repeated non-CSP rows (reference tasks.py:1095)."""
+
+    blocks: tuple
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for b in self.blocks:
+            x = b(x, train=train)
+        return x
+
+
+@register
+class SPP(nn.Module):
+    """Spatial pyramid pooling, parallel maxpools (reference block.py:146 SPP;
+    used by the YOLOv3 zoo configs)."""
+
+    c2: int
+    k: tuple = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = Conv(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = [y] + [max_pool_same(y, k, 1) for k in self.k]
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(ys, axis=-1), train
+        )
 
 
 @register
