@@ -80,12 +80,30 @@ class DetectionValidator:
             kpt_sigmas = (OKS_SIGMA if kpt_shape[0] == 17
                           else np.ones(kpt_shape[0]) / kpt_shape[0])
 
-        nms_free = getattr(getattr(model, "head_spec", None), "name", "") == "v10Detect"
+        head_name = getattr(getattr(model, "head_spec", None), "name", "")
+        nms_free = head_name == "v10Detect"
+        rtdetr = head_name == "RTDETRDecoder"
 
         @partial(jax.jit, static_argnames=())
         def forward_nms(vars_, img):
             img = img.astype(model.dtype) / 255.0
             y, feats = model.graph.apply(vars_, img, train=False)
+            if rtdetr:
+                # reference rtdetr/val.py postprocess: normalized xywh * imgsz
+                # -> xyxy, per-query max score/class, conf-sorted, NO NMS
+                from yolo_ad_refine_tpu.ops.boxes import xywh2xyxy
+
+                boxes = xywh2xyxy(y[..., :4].astype(jnp.float32)) * imgsz
+                scores = y[..., 4:]
+                score = scores.max(-1)
+                cls_i = scores.argmax(-1).astype(jnp.float32)
+                order = jnp.argsort(-score, axis=-1)
+                d = jnp.concatenate([boxes, score[..., None], cls_i[..., None]], -1)
+                d = jnp.take_along_axis(d, order[..., None], axis=1)
+                keep = d[..., 4] > float(conf)
+                d = d * keep[..., None]
+                cnt = jnp.sum(keep, axis=-1).astype(jnp.int32)
+                return d, cnt, jnp.zeros((*d.shape[:2], 0), d.dtype), feats
             if nms_free:
                 # v10: y is already (B, max_det, 6) xywh+conf+cls, score-sorted
                 from yolo_ad_refine_tpu.ops.boxes import xywh2xyxy
@@ -134,8 +152,9 @@ class DetectionValidator:
                         mask_iou_fn(proto, extras, det, jnp.asarray(batch["masks"]))
                     ))
                     feats_for_loss = feats[0] if isinstance(feats, tuple) else feats
-                elif rotated:
-                    # OBBLoss consumes the head's full (feats, angle) tuple
+                elif rotated or rtdetr:
+                    # OBBLoss consumes the head's full (feats, angle) tuple;
+                    # RTDETRLoss consumes the raw (dec_b, dec_s, enc_b, enc_s)
                     feats_for_loss = feats
                 else:
                     # the pose head returns (feats, kpt); the box val loss
@@ -189,9 +208,10 @@ class DetectionValidator:
         save_dir.mkdir(parents=True, exist_ok=True)
         plot_confusion_matrix(confusion.matrix, names, save_dir / "confusion_matrix.png")
         box = metrics.box
-        if len(box.all_ap) and getattr(box, "p_curve", None) is not None:
-            # precision over the recall grid: plot P(conf-grid) against R(conf-grid)
-            plot_pr_curve(box.r_curve.mean(0), box.p_curve, box.all_ap,
+        if len(box.all_ap) and getattr(box, "prec_values", None) is not None:
+            # per-class precision envelope over the recall grid at IoU .5
+            # (reference plotting.py plot_pr_curve semantics)
+            plot_pr_curve(box.px, box.prec_values, box.all_ap,
                           save_dir / "PR_curve.png", names)
 
     # -- per-batch metric update ----------------------------------------------

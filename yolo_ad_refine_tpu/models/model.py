@@ -41,7 +41,15 @@ class DetectionGraph(nn.Module):
     reg_max: int = 16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dn: dict | None = None,
+                 text_feats=None):
+        # dn: optional contrastive-denoising group routed to an RTDETRDecoder
+        # head (train/rtdetr.py make_cdn_group); text_feats: optional (nc,
+        # embed) class text embeddings routed to a WorldDetect head (the CLIP
+        # text encoder is unavailable in this zero-egress build — users
+        # supply embeddings from any encoder; without them the head scores
+        # against its learned default_text parameter and the open-vocabulary
+        # capability is inert). Both are ignored by every other head.
         input_h = x.shape[1]
         # full per-layer output list: 'from' may be absolute (savelist) or
         # negative-relative (e.g. [-1, -2] in z-yaml ablations) — exactly the
@@ -58,6 +66,11 @@ class DetectionGraph(nn.Module):
                     return m(fetch(f), train=train, input_h=input_h)
                 feats = [fetch(j) for j in f]
                 # train: per-level raw maps; eval: (decoded, per-level maps)
+                if dn is not None:
+                    return m(feats, train=train, input_h=input_h, dn=dn)
+                if text_feats is not None:
+                    return m(feats, text_feats=text_feats, train=train,
+                             input_h=input_h)
                 return m(feats, train=train, input_h=input_h)
             inp = fetch(f) if isinstance(f, int) else [fetch(j) for j in f]
             out = m(inp, train=train)
@@ -103,6 +116,17 @@ class DetectionModel:
         )
         self.variables = None
         self.strides = None
+
+    @property
+    def deconv_layer_indices(self) -> tuple:
+        """Yaml-row indices whose module is a ConvTranspose (their torch
+        weights are (I, O, kh, kw) + spatially flipped vs Conv2d — needed by
+        utils/torch_import to pick the right layout without relying on torch
+        parameter names, which are bare 'model.N.weight' for yaml rows)."""
+        from yolo_ad_refine_tpu.nn.common import PlainConvTranspose2d
+
+        return tuple(s.i for s in self.specs
+                     if isinstance(s.module, PlainConvTranspose2d))
 
     # -- params ------------------------------------------------------------
     def init(self, key=None, imgsz: int = 640, batch: int = 1):

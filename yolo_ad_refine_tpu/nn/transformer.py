@@ -229,8 +229,14 @@ class RTDETRDecoder(nn.Module):
     layers with iterative box refinement. Train returns
     (dec_bboxes, dec_scores, enc_bboxes, enc_scores); eval returns
     (y, raw) where y = (B, nq, 4+nc), xywh normalized to [0,1] (the
-    reference's convention; the predictor scales by image size). Contrastive
-    denoising (get_cdn_group) is a training-time augmentation — round 2.
+    reference's convention; the predictor scales by image size).
+
+    Contrastive denoising: pass ``dn`` (train only) built by
+    train/rtdetr.py make_cdn_group — {'cls' (B,ndn) int, 'bbox_logit'
+    (B,ndn,4), 'valid' (B,ndn), 'attn_blocked' (T,T) bool True=blocked}.
+    The dn queries are PREPENDED to the matching queries (reference
+    head.py RTDETRDecoder._get_decoder_input: cat([dn_embed, embed], 1))
+    and the blocked mask keeps dn groups mutually blind.
     """
 
     nc: int = 80
@@ -246,7 +252,8 @@ class RTDETRDecoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs, train: bool = False, input_h: int | None = None):
+    def __call__(self, xs, train: bool = False, input_h: int | None = None,
+                 dn: dict | None = None):
         b = xs[0].shape[0]
         nl = len(self.ch)
         # input projection: conv1x1 + BN per level (reference input_proj)
@@ -293,11 +300,9 @@ class RTDETRDecoder(nn.Module):
         enc_bboxes = nn.sigmoid(refer_logit)
         enc_scores = jnp.take_along_axis(enc_scores_all, topk_idx[..., None], axis=1)
 
-        # denoising class embedding (consumed by the contrastive-denoising
-        # training group — reference get_cdn_group; parameter slot kept for
-        # checkpoint parity, wiring lands with dn training)
-        self.param("denoising_class_embed", nn.initializers.normal(1.0),
-                   (self.nc, self.hd), jnp.float32)
+        # denoising class embedding (reference get_cdn_group's class_embed)
+        dn_embed_w = self.param("denoising_class_embed", nn.initializers.normal(1.0),
+                                (self.nc, self.hd), jnp.float32)
 
         if self.learnt_init_query:
             embed = jnp.broadcast_to(
@@ -309,6 +314,16 @@ class RTDETRDecoder(nn.Module):
         if train:
             embed = jax.lax.stop_gradient(embed)
             refer_logit = jax.lax.stop_gradient(refer_logit)
+
+        attn_mask = None
+        if dn is not None and train:
+            dn_embed = dn_embed_w[dn["cls"]] * dn["valid"][..., None]  # (B, ndn, hd)
+            embed = jnp.concatenate([dn_embed.astype(embed.dtype), embed], axis=1)
+            refer_logit = jnp.concatenate(
+                [dn["bbox_logit"].astype(refer_logit.dtype), refer_logit], axis=1
+            )
+            # flax mask convention: True = ATTEND (reference's is True = block)
+            attn_mask = (~dn["attn_blocked"])[None, None]  # (1, 1, T, T)
 
         pos_mlp = MLP(2 * self.hd, self.hd, 2, dtype=self.dtype, name="query_pos_head")
         dec_layers = [
@@ -334,7 +349,7 @@ class RTDETRDecoder(nn.Module):
         dec_bboxes, dec_scores = [], []
         last_refined = None
         for i in range(self.ndl):
-            out = dec_layers[i](out, refer, feats, shapes, pos_mlp(refer))
+            out = dec_layers[i](out, refer, feats, shapes, pos_mlp(refer), attn_mask)
             bbox = bbox_heads[i](out).astype(jnp.float32)
             refined = nn.sigmoid(bbox + inverse_sigmoid(refer))
             dec_scores.append(score_heads[i](out))

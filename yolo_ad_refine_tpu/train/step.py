@@ -59,7 +59,7 @@ class TrainState(struct.PyTreeNode):
 
 def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999,
                     ema_tau: float = 2000.0, extra_loss_keys: tuple = (),
-                    accumulate: int = 1):
+                    accumulate: int = 1, dn_fn=None):
     """Build the pure train_step(state, batch, rng) -> (state, metrics).
 
     batch = {'img': (B,H,W,3) float in [0,1] or uint8, 'cls': (B,N,1),
@@ -69,15 +69,21 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
     accumulate: gradient-accumulation count (optax.MultiSteps inside tx);
     the EMA advances only on real optimizer steps, matching the reference
     (ModelEMA.update is called inside optimizer_step, trainer.py:580-588).
+    dn_fn: optional (batch, rng) -> dn dict hook building the RT-DETR
+    contrastive-denoising group inside the jitted step (train/rtdetr.py).
     """
 
     def loss_and_updates(params, batch_stats, batch, rng):
         img = batch["img"]
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32) / 255.0
+        kwargs = {}
+        if dn_fn is not None:
+            rng, dn_rng = jax.random.split(rng)
+            kwargs["dn"] = dn_fn(batch, dn_rng)
         feats, mutated = graph.apply(
             {"params": params, "batch_stats": batch_stats},
-            img, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+            img, train=True, rngs={"dropout": rng}, mutable=["batch_stats"], **kwargs,
         )
         extras = tuple(batch[k] for k in extra_loss_keys)
         out = loss_fn(feats, batch["cls"], batch["bboxes"], batch["mask"], *extras)

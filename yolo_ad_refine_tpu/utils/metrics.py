@@ -55,6 +55,7 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
+    prec_values = np.zeros((nc, 1000))  # precision over the RECALL grid at IoU .5
     for ci, c in enumerate(unique_classes):
         m = pred_cls == c
         n_l = nt[ci]
@@ -68,7 +69,10 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
         precision = tpc / (tpc + fpc)
         p_curve[ci] = np.interp(-x, -conf[m], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if j == 0:
+                # the reference's PR-curve envelope (metrics.py prec_values)
+                prec_values[ci] = np.interp(x, mrec, mpre)
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i_max = smooth(f1_curve.mean(0), 0.1).argmax()
@@ -77,6 +81,7 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
         "p": p, "r": r, "f1": f1, "ap": ap,
         "unique_classes": unique_classes.astype(int), "nt": nt,
         "p_curve": p_curve, "r_curve": r_curve, "x": x,
+        "prec_values": prec_values,
     }
 
 
@@ -151,6 +156,7 @@ class Metric:
         self.p_curve = results.get("p_curve")
         self.r_curve = results.get("r_curve")
         self.px = results.get("x")
+        self.prec_values = results.get("prec_values")
 
     @property
     def fitness(self) -> float:
