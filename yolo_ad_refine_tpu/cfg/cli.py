@@ -19,8 +19,8 @@ import sys
 
 from yolo_ad_refine_tpu.utils import DEFAULT_CFG_PATH, LOGGER, yaml_load, yaml_print
 
-TASKS = {"detect"}
-MODES = {"train", "val", "predict", "benchmark"}
+TASKS = {"detect", "segment", "pose", "obb", "classify"}
+MODES = {"train", "val", "predict", "benchmark", "tune"}
 
 HELP = __doc__
 
@@ -53,6 +53,18 @@ def entrypoint(argv: list[str] | None = None) -> int:
     if argv[0] == "cfg":
         yaml_print(yaml_load(DEFAULT_CFG_PATH))
         return 0
+    if argv[0] == "settings":
+        from yolo_ad_refine_tpu.utils.settings import get_settings
+
+        s = get_settings()
+        updates = parse_kv(argv[1:]) if len(argv) > 1 else {}
+        if updates.pop("reset", False):
+            s.reset()
+        if updates:
+            s.update(updates)
+        for k, v in s.items():
+            print(f"{k}: {v}")
+        return 0
 
     task = "detect"
     if argv and argv[0] in TASKS:
@@ -66,11 +78,16 @@ def entrypoint(argv: list[str] | None = None) -> int:
 
     model_arg = overrides.pop("model", "yolo11n.yaml")
     imgsz = int(overrides.get("imgsz", 640))
+    task = overrides.pop("task", task)  # `yat train task=segment ...` also works
     model = YOLO(model_arg, task=task, imgsz=imgsz)
 
     if mode == "train":
-        results = model.train(**overrides)
+        results = model.train(task=task, **overrides)
         LOGGER.info(f"results: {results}")
+    elif mode == "tune":
+        iterations = int(overrides.pop("iterations", 10))
+        best = model.tune(iterations=iterations, task=task, **overrides)
+        LOGGER.info(f"best hyperparameters: {best}")
     elif mode == "val":
         results = model.val(**overrides)
         LOGGER.info(f"results: {results}")

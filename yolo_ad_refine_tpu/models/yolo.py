@@ -91,11 +91,52 @@ class YOLO:
         exporter = Exporter(self.model, imgsz=imgsz, batch=batch, half=half)
         return exporter(format, path or f"model_{format}")
 
+    def tune(self, iterations: int = 10, space: dict | None = None, **kwargs):
+        """Hyperparameter evolution (reference engine/model.py:811 Model.tune ->
+        engine/tuner.py Tuner). Returns the best hyperparameter dict; artifacts
+        (tune_results.csv, best_hyperparameters.yaml, best weights) land in
+        <project>/tune*/."""
+        from yolo_ad_refine_tpu.engine.tuner import Tuner
+
+        overrides = {**self.overrides, **kwargs, "mode": "train"}
+        tuner = Tuner(overrides, space=space)
+        # fresh params per iteration so runs are independent
+        model_cfg = self.model.yaml
+        nc = self.model.nc
+        dtype = self.model.dtype
+        imgsz = int(overrides.get("imgsz", 640))
+
+        def factory():
+            return build_detection_model(model_cfg, nc=nc, dtype=dtype, imgsz=imgsz)
+
+        return tuner(factory, iterations=iterations)
+
     def benchmark(self, **kwargs):
         """Format-matrix benchmark (reference utils/benchmarks.py:49)."""
         from yolo_ad_refine_tpu.utils.benchmarks import benchmark as _benchmark
 
         return _benchmark(self, **kwargs)
+
+    def set_classes(self, names: list, text_embeddings=None):
+        """Open-vocabulary class setup for WorldDetect models (reference
+        YOLOWorld.set_classes). The reference encodes `names` with CLIP; CLIP
+        weights cannot be fetched in this zero-egress build, so callers pass
+        `text_embeddings` (len(names), embed) from any encoder — without them
+        the head is inert (scores against its learned default_text param)."""
+        import numpy as np
+
+        if getattr(self.model.head_spec, "name", "") != "WorldDetect":
+            raise ValueError("set_classes requires a WorldDetect (yolo-world) model")
+        self.model.names = dict(enumerate(names))
+        if text_embeddings is not None:
+            t = np.asarray(text_embeddings, np.float32)
+            assert t.ndim == 2 and t.shape[0] == len(names), t.shape
+            self.model.text_feats = t
+        else:
+            LOGGER.warning("set_classes without text_embeddings: WorldDetect "
+                           "will score against its learned default_text param "
+                           "(no offline CLIP in this build)")
+        return self
 
     def info(self):
         return self.model.info()

@@ -33,18 +33,16 @@ from yolo_ad_refine_tpu.train.loss import DetectionLoss
 from yolo_ad_refine_tpu.train.optim import build_optimizer
 from yolo_ad_refine_tpu.train.step import TrainState, make_train_step
 from yolo_ad_refine_tpu.utils import DEFAULT_CFG_PATH, LOGGER, colorstr, increment_path, yaml_load, yaml_save
-from yolo_ad_refine_tpu.utils.callbacks import Callbacks, tensorboard_callbacks
+from yolo_ad_refine_tpu.utils.callbacks import Callbacks
 from yolo_ad_refine_tpu.utils.plotting import plot_images, plot_results
 
 
 def get_cfg(overrides: dict | None = None) -> dict:
-    """default.yaml + overrides merge (reference cfg/__init__.py:225 get_cfg)."""
-    cfg = yaml_load(DEFAULT_CFG_PATH)
-    for k, v in (overrides or {}).items():
-        if k not in cfg and k not in ("model", "data", "mode", "task", "resume"):
-            LOGGER.warning(f"ignoring unknown cfg key: {k}={v}")
-        cfg[k] = v
-    return cfg
+    """default.yaml + overrides merge with unknown-key fuzzy suggestions and
+    type/range validation (cfg/config.py; reference cfg/__init__.py:225)."""
+    from yolo_ad_refine_tpu.cfg.config import get_cfg as _get_cfg
+
+    return _get_cfg(overrides)
 
 
 def multi_scale_batch(batch: dict, imgsz: int, rng: np.random.Generator) -> dict:
@@ -120,8 +118,11 @@ class DetectionTrainer:
         self.start_epoch = 0
         self.csv = self.save_dir / "results.csv"
         self.callbacks = Callbacks()
-        for hook, fn in tensorboard_callbacks(self.save_dir).items():
-            self.callbacks.add(hook, fn)
+        from yolo_ad_refine_tpu.utils.callbacks import integration_callbacks
+
+        for hook, fns in integration_callbacks(self.save_dir).items():
+            for fn in fns:
+                self.callbacks.add(hook, fn)
         self.current_epoch = 0
         self.last_epoch_scalars = {}
 
@@ -159,6 +160,17 @@ class DetectionTrainer:
             self.model = DetectionModel(self.model.yaml, nc=data["nc"], dtype=self.model.dtype)
             self.model.init(jax.random.PRNGKey(int(args.get("seed", 0))), imgsz=self.imgsz)
 
+        # bf16 canary (reference checks.py:651 check_amp): fall back to fp32
+        # when the architecture diverges numerically under bf16 compute
+        if self.model.dtype != jnp.float32 and args.get("amp", True):
+            from yolo_ad_refine_tpu.utils.checks import check_amp
+
+            if not check_amp(self.model):
+                self.model = DetectionModel(self.model.yaml, nc=data["nc"],
+                                            dtype=jnp.float32)
+                self.model.init(jax.random.PRNGKey(int(args.get("seed", 0))),
+                                imgsz=self.imgsz)
+
         gains = dict(box_gain=float(args["box"]), cls_gain=float(args["cls"]),
                      dfl_gain=float(args["dfl"]))
         if self.task == "segment":
@@ -186,6 +198,26 @@ class DetectionTrainer:
             # OBBLoss consumes the head's full (feats, angle) train output,
             # which the eval path also returns — reuse it for val loss
             self.val_loss_fn = self.loss_fn
+        elif getattr(self.model.head_spec, "name", "") == "RTDETRDecoder":
+            from yolo_ad_refine_tpu.train.rtdetr import (
+                RTDETRLoss, build_dn_attn_blocked, make_cdn_group,
+            )
+
+            nq = int(getattr(self.model.head_spec.module, "nq", 300))
+            self.loss_fn = RTDETRLoss(nc=data["nc"], nq=nq, imgsz=self.imgsz,
+                                      max_boxes=max_boxes)
+            self.extra_loss_keys = ()
+            self.val_loss_fn = self.loss_fn
+            attn_blocked = jnp.asarray(build_dn_attn_blocked(self.loss_fn.dn_cfg, nq))
+            nc_, imgsz_, cfg_ = data["nc"], float(self.imgsz), self.loss_fn.dn_cfg
+            self.dn_fn = lambda batch, rng: make_cdn_group(
+                batch["cls"], batch["bboxes"], batch["mask"], rng,
+                nc=nc_, imgsz=imgsz_, cfg=cfg_, attn_blocked=attn_blocked,
+            )
+            if args.get("multi_scale"):
+                LOGGER.warning("multi_scale is not supported for RT-DETR "
+                               "(loss normalizes boxes by the static imgsz); disabling")
+                self.args["multi_scale"] = False
         elif getattr(self.model.head_spec, "name", "") == "v10Detect":
             from yolo_ad_refine_tpu.train.loss import E2EDetectLoss
 
@@ -232,7 +264,8 @@ class DetectionTrainer:
         self.mesh = make_mesh_for_batch(self.batch_size)
         step = make_train_step(self.model.graph, self.loss_fn, tx,
                                extra_loss_keys=self.extra_loss_keys,
-                               accumulate=self.accumulate)
+                               accumulate=self.accumulate,
+                               dn_fn=getattr(self, "dn_fn", None))
         self.train_step = make_parallel_train_step(step, self.mesh)
 
         self.validator = DetectionValidator(args={

@@ -75,3 +75,62 @@ def tensorboard_callbacks(log_dir: str):
             writer.flush()
 
     return {"on_fit_epoch_end": on_fit_epoch_end}
+
+
+# ---------------------------------------------------------------------------
+# MLflow integration (reference utils/callbacks/mlflow.py) — file-based local
+# tracking works offline; enabled when the package is importable and the
+# settings toggle is on.
+# ---------------------------------------------------------------------------
+
+
+def mlflow_callbacks(save_dir: str, run_name: str = "train"):
+    """Returns {hook: fn} logging params/metrics to a local mlruns store."""
+    try:
+        import mlflow
+    except ImportError:
+        return {}
+    from pathlib import Path
+
+    uri = f"file://{Path(save_dir).resolve() / 'mlruns'}"
+
+    def on_train_start(trainer):
+        mlflow.set_tracking_uri(uri)
+        mlflow.set_experiment("yolo_ad_refine_tpu")
+        mlflow.start_run(run_name=run_name)
+        params = {k: str(v) for k, v in trainer.args.items()
+                  if isinstance(v, (int, float, str, bool))}
+        mlflow.log_params(params)
+
+    def on_fit_epoch_end(trainer):
+        metrics = {k.replace("(", "").replace(")", ""): float(v)
+                   for k, v in getattr(trainer, "last_epoch_scalars", {}).items()}
+        mlflow.log_metrics(metrics, step=int(trainer.current_epoch))
+
+    def on_train_end(trainer):
+        for f in ("results.csv", "args.yaml"):
+            p = Path(trainer.save_dir) / f
+            if p.exists():
+                mlflow.log_artifact(str(p))
+        mlflow.end_run()
+
+    return {"on_train_start": on_train_start, "on_fit_epoch_end": on_fit_epoch_end,
+            "on_train_end": on_train_end}
+
+
+def integration_callbacks(save_dir: str) -> dict:
+    """Aggregate enabled integrations (reference callbacks/base.py:187
+    add_integration_callbacks), gated by the settings toggles."""
+    from yolo_ad_refine_tpu.utils.settings import get_settings
+
+    s = get_settings()
+    hooks: dict = {}
+    sources = []
+    if s.get("tensorboard", True):
+        sources.append(tensorboard_callbacks(save_dir))
+    if s.get("mlflow", False):
+        sources.append(mlflow_callbacks(save_dir))
+    for src in sources:
+        for hook, fn in src.items():
+            hooks.setdefault(hook, []).append(fn)
+    return hooks
