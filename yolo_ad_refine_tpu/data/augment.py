@@ -302,3 +302,63 @@ def flip_ud(img, boxes):
         boxes = boxes.copy()
         boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
     return np.ascontiguousarray(img), boxes
+
+
+def bbox_ioa(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Intersection over box2 area, (N, M) (reference utils/metrics.py bbox_ioa)."""
+    if not len(box1) or not len(box2):
+        return np.zeros((len(box1), len(box2)), np.float32)
+    ix1 = np.maximum(box1[:, None, 0], box2[None, :, 0])
+    iy1 = np.maximum(box1[:, None, 1], box2[None, :, 1])
+    ix2 = np.minimum(box1[:, None, 2], box2[None, :, 2])
+    iy2 = np.minimum(box1[:, None, 3], box2[None, :, 3])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    area2 = (box2[:, 2] - box2[:, 0]) * (box2[:, 3] - box2[:, 1])
+    return inter / (area2[None] + eps)
+
+
+def copy_paste_flip(img: np.ndarray, segments: list, cls: np.ndarray, p: float,
+                    rng: np.random.Generator):
+    """Flip-mode CopyPaste (reference augment.py:1631-1727 CopyPaste._transform,
+    the default copy_paste_mode='flip'): paste horizontally-mirrored instances
+    whose mirrored boxes overlap every existing box by IoA < 0.30, filling the
+    pasted region from the flipped image. Selection takes the round(p*n)
+    least-overlapping candidates, matching the reference's sorted_idx order.
+
+    img HWC uint8 (modified in place on the returned copy), segments list of
+    (P, 2) px polygons, cls (n,). Returns (img, segments, cls).
+    """
+    n_seg = len(segments)
+    if p <= 0 or n_seg == 0:
+        return img, segments, cls
+    h, w = img.shape[:2]
+    boxes = np.stack([
+        np.asarray([s[:, 0].min(), s[:, 1].min(), s[:, 0].max(), s[:, 1].max()])
+        for s in segments
+    ]).astype(np.float32)
+    segs2 = [np.stack([w - s[:, 0], s[:, 1]], -1) for s in segments]
+    boxes2 = boxes.copy()
+    boxes2[:, [0, 2]] = w - boxes[:, [2, 0]]
+
+    ioa = bbox_ioa(boxes2, boxes)  # (N, M)
+    candidates = np.nonzero((ioa < 0.30).all(1))[0]
+    n = len(candidates)
+    if n == 0:
+        return img, segments, cls
+    candidates = candidates[np.argsort(ioa.max(1)[candidates])]
+    chosen = candidates[: round(p * n)]
+    if len(chosen) == 0:
+        return img, segments, cls
+
+    im_new = np.zeros(img.shape, np.uint8)
+    out_segments = list(segments)
+    out_cls = [cls]
+    for j in chosen:
+        out_cls.append(cls[[j]])
+        out_segments.append(segs2[j])
+        cv2.drawContours(im_new, [segs2[j].astype(np.int32)], -1, (1, 1, 1), cv2.FILLED)
+    flipped = cv2.flip(img, 1)
+    img = img.copy()
+    m = im_new.astype(bool)
+    img[m] = flipped[m]
+    return img, out_segments, np.concatenate(out_cls, 0)

@@ -417,6 +417,10 @@ class YOLODataset:
             idxs = [i] + list(rng.integers(0, len(self), 3))
             items = [self._load_segment_item(j) for j in idxs]
             img, segments, cls = A.mosaic4_segments(items, self.imgsz, rng)
+            # reference transform order: Mosaic -> CopyPaste -> RandomPerspective
+            img, segments, cls = A.copy_paste_flip(
+                img, segments, cls, hyp.get("copy_paste", 0.0), rng
+            )
             img, segments, cls = A.random_perspective_segments(
                 img, segments, cls, rng,
                 degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
@@ -454,6 +458,9 @@ class YOLODataset:
         segments = [s * ratio[0] + np.asarray(pad, np.float32) for s in segments]
         if self.augment:
             img = np.ascontiguousarray(img)
+            img, segments, cls = A.copy_paste_flip(
+                img, segments, cls, hyp.get("copy_paste", 0.0), rng
+            )
             A.augment_hsv(img, rng, self.hyp.get("hsv_h", 0.015), self.hyp.get("hsv_s", 0.7),
                           self.hyp.get("hsv_v", 0.4))
             if rng.random() < self.hyp.get("fliplr", 0.5):
