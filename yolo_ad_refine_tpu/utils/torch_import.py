@@ -236,19 +236,26 @@ def _same_branch(torch_rest: str, flax_path: tuple) -> bool:
 
 
 def import_torch_state_dict(state_dict: dict, variables: dict, strict: bool = True,
-                            deconv_markers: tuple = (".upsample",)) -> dict:
+                            deconv_markers: tuple = (".upsample",),
+                            deconv_layers: tuple = ()) -> dict:
     """Map a torch state_dict onto a flax variables tree.
 
     Args:
         state_dict: {torch_name: tensor-like} from the reference model.
         variables: our model's current variables (provides the structure).
         deconv_markers: substrings of torch names that are ConvTranspose2d
-            weights (bare yaml nn.ConvTranspose2d rows are detected by target
-            shape instead).
+            weights (covers nested deconvs like Proto '.upsample').
+        deconv_layers: yaml-row indices that ARE ConvTranspose2d modules
+            (their torch names are bare 'model.N.weight' with nothing to
+            pattern-match, and when in==out channels the shape is ambiguous).
+            Pass ``model.deconv_layer_indices``.
 
     Returns new variables dict. With strict=True, raises on any unmatched
     parameter on either side.
     """
+    deconv_markers = tuple(deconv_markers) + tuple(
+        f"model.{i}.weight" for i in deconv_layers
+    )
     flat = {"params": _flatten(variables["params"]),
             "batch_stats": _flatten(variables.get("batch_stats", {}))}
     new = {"params": dict(flat["params"]), "batch_stats": dict(flat["batch_stats"])}
