@@ -467,20 +467,28 @@ class DyDCNv2(nn.Module):
     """Modulated deformable conv 3x3 + GroupNorm(16) (reference head.py:751-782).
 
     The deformable sampling replaces mmcv.ops.ModulatedDeformConv2d with the
-    exact single-gather kernel (ops/deform.py) in BOTH train and eval — no
-    offset bound, identical semantics to the mmcv op in every mode. (Round 1
-    trained through a dense bounded-offset approximation out of concern that
-    XLA's gather adjoint serializes on TPU; measured on the target chip the
-    exact kernel's fwd+bwd is ~0.5 ms over all 3 flagship levels at bs=32 —
-    benchmarks/bench_dcn.py — so the approximation and its train/eval
-    divergence are gone.)
+    same kernel in BOTH train and eval (no train/eval semantic divergence):
+
+    - TPU backend: the Pallas bounded-window kernel (ops/deform_pallas.py) —
+      exact bilinear/zero-pad semantics for |offset| <= radius (offsets
+      clipped to ±radius; trained alignment offsets stay well inside).
+      The XLA gather formulation is index-rate-bound on TPU: 39 ms of the
+      flagship's 68 ms bs32 forward (chained-executable measurement).
+    - other backends: the exact unbounded single-gather kernel
+      (ops/deform.py), which is fast on CPU and keeps the cross-stack
+      parity tests bit-exact.
+
+    Override with YAT_DCN_IMPL={pallas,exact}.
     """
 
     out_channels: int
+    radius: float = 3.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, offset, mask, train: bool = False):
+        import os
+
         c = x.shape[-1]
         weight = self.param(
             "weight",
@@ -488,7 +496,20 @@ class DyDCNv2(nn.Module):
             (3, 3, c, self.out_channels),
             jnp.float32,
         )
-        y = modulated_deform_conv2d(x, offset, mask, weight.astype(x.dtype))
+        impl = os.environ.get("YAT_DCN_IMPL", "auto")
+        use_pallas = (impl == "pallas") or (
+            impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from yolo_ad_refine_tpu.ops.deform_pallas import (
+                modulated_deform_conv2d_pallas,
+            )
+
+            y = modulated_deform_conv2d_pallas(
+                x, offset, mask, weight.astype(x.dtype), int(self.radius)
+            )
+        else:
+            y = modulated_deform_conv2d(x, offset, mask, weight.astype(x.dtype))
         return nn.GroupNorm(num_groups=16, epsilon=1e-5, dtype=self.dtype, name="gn")(y)
 
 
