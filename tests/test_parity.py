@@ -14,7 +14,10 @@ REF = Path("/root/reference")
 DFL_FROZEN_PARAMS = 16
 
 
-def _build_torch_reference(cfg_path: str):
+def _ensure_reference_importable():
+    """Install the dependency stubs (torchvision/mmcv/timm/...) that let the
+    reference package import without its CUDA deps, and put /root/reference
+    on sys.path. Idempotent."""
     import importlib.metadata as md
     import sys
     import types
@@ -116,6 +119,9 @@ def _build_torch_reference(cfg_path: str):
         stub("efficientnet_pytorch.model", MemoryEfficientSwish=MemoryEfficientSwish)
         sys.path.insert(0, str(REF))
 
+
+def _build_torch_reference(cfg_path: str):
+    _ensure_reference_importable()
     from ultralytics.nn.tasks import DetectionModel as TorchDetectionModel
 
     return TorchDetectionModel(cfg_path, verbose=False)
