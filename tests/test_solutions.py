@@ -84,3 +84,77 @@ class TestQueueAndDistance:
             (30, 40, 50, 60, 2, 0.9, 0),    # center (40, 50): dist 50 px = 5 m
         ]))
         assert abs(out[(1, 2)]["meters"] - 5.0) < 1e-3
+
+
+class TestAIGym:
+    def test_rep_counting(self):
+        from yolo_ad_refine_tpu.solutions import AIGym
+
+        gym = AIGym(kpts=(5, 7, 9), up_angle=145.0, down_angle=90.0)
+
+        def pose_results(angle_deg, tid=1):
+            """One person whose monitored joint sits at the given angle."""
+            img = np.zeros((200, 200, 3), np.uint8)
+            boxes = np.asarray([[50, 50, 150, 150, tid, 0.9, 0]], np.float32)
+            k = np.zeros((1, 17, 3), np.float32)
+            rad = np.deg2rad(angle_deg)
+            k[0, 5] = (100 + 50, 100, 1)                        # a
+            k[0, 7] = (100, 100, 1)                             # b (vertex)
+            k[0, 9] = (100 + 50 * np.cos(rad), 100 + 50 * np.sin(rad), 1)
+            return Results(img, "f.jpg", {0: "person"}, boxes, keypoints=k)
+
+        # up -> down -> up -> down = 2 reps
+        for ang in (170, 60, 170, 60):
+            gym.update(pose_results(ang))
+        s = gym.summary()
+        assert s["count"][1] == 2
+        assert s["stage"][1] == "down"
+
+    def test_angle_estimate(self):
+        from yolo_ad_refine_tpu.solutions.ai_gym import estimate_pose_angle
+
+        assert abs(estimate_pose_angle((1, 0), (0, 0), (0, 1)) - 90.0) < 1e-6
+        assert abs(estimate_pose_angle((1, 0), (0, 0), (-1, 0)) - 180.0) < 1e-6
+
+
+class TestAnalytics:
+    def test_line_and_pie_render(self):
+        from yolo_ad_refine_tpu.solutions import Analytics
+
+        for chart in ("line", "pie", "bar", "area"):
+            an = Analytics(chart_type=chart, names={0: "obj"})
+            for f in range(3):
+                frame = an.update(f, frame_results(
+                    [(10, 10, 30, 30, 1, 0.9, 0)] * (f + 1)))
+            assert frame.ndim == 3 and frame.shape[-1] == 3 and frame.dtype == np.uint8
+        assert an.totals == [1, 2, 3]
+
+    def test_rolling_window(self):
+        from yolo_ad_refine_tpu.solutions import Analytics
+        from yolo_ad_refine_tpu.solutions.analytics import MAX_POINTS
+
+        an = Analytics(chart_type="line")
+        for f in range(MAX_POINTS + 10):
+            an.update(f, frame_results([(10, 10, 30, 30, 1, 0.9, 0)]))
+        assert len(an.frames) == MAX_POINTS
+
+
+class TestParkingManager:
+    def test_occupancy(self, tmp_path):
+        import json
+
+        from yolo_ad_refine_tpu.solutions import ParkingManager
+
+        slots = [{"points": [[0, 0], [100, 0], [100, 100], [0, 100]]},
+                 {"points": [[100, 0], [200, 0], [200, 100], [100, 100]]}]
+        p = tmp_path / "slots.json"
+        p.write_text(json.dumps(slots))
+        pm = ParkingManager(p)
+        s = pm.update(frame_results([(10, 10, 50, 50, 1, 0.9, 0)]))  # slot 0
+        assert s["Occupancy"] == 1 and s["Available"] == 1
+        assert s["slots"] == [True, False]
+        img = pm.annotate(np.zeros((200, 200, 3), np.uint8))
+        assert img.any()  # polygons drawn
+
+    def test_headless_inference_helper_importable(self):
+        from yolo_ad_refine_tpu.solutions import run_headless  # noqa: F401
