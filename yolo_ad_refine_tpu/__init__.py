@@ -19,5 +19,7 @@ detect.py): ``YOLO(cfg_or_ckpt).train(...)/.val(...)/.predict(...)``.
 __version__ = "0.1.0"
 
 from yolo_ad_refine_tpu.models.yolo import YOLO  # noqa: E402,F401
+from yolo_ad_refine_tpu.models.fastsam import FastSAM  # noqa: E402,F401
+from yolo_ad_refine_tpu.models.nas import NAS  # noqa: E402,F401
 
 __all__ = ["YOLO", "__version__"]
