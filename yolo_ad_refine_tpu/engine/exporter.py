@@ -136,6 +136,15 @@ class AutoBackend:
     """Dispatching inference over exported artifacts: forward(img) -> (B,N,4+nc)."""
 
     def __init__(self, weights: str | Path):
+        if isinstance(weights, str) and weights.startswith(("http://", "grpc://")):
+            # remote Triton model (reference autobackend.py triton branch)
+            from yolo_ad_refine_tpu.utils.triton import TritonRemoteModel
+
+            self.kind = "triton"
+            self.path = weights
+            remote = TritonRemoteModel(weights)
+            self._fn = lambda x: remote(np.asarray(x))[0]
+            return
         self.path = Path(weights)
         if self.path.is_dir() and (self.path / "weights.msgpack").exists():
             from yolo_ad_refine_tpu.engine.checkpoint import load_checkpoint
