@@ -124,3 +124,41 @@ class TestTuner:
             hyp = t._mutate(rng)
             for k, bounds in t.space.items():
                 assert bounds[0] <= hyp[k] <= bounds[1], k
+
+
+class TestTrackerCallbacks:
+    def test_jsonl_tracker_end_to_end(self, tmp_path):
+        import json
+
+        from yolo_ad_refine_tpu.utils.callbacks import tracker_callbacks
+
+        hooks = tracker_callbacks("jsonl", str(tmp_path))
+        assert set(hooks) == {"on_train_start", "on_fit_epoch_end", "on_train_end"}
+
+        class T:
+            args = {"lr0": 0.01, "model": "m.yaml"}
+            save_dir = tmp_path
+            current_epoch = 0
+            last_epoch_scalars = {"train/box_loss": 1.5}
+
+        t = T()
+        (tmp_path / "results.csv").write_text("epoch\n")
+        hooks["on_train_start"](t)
+        hooks["on_fit_epoch_end"](t)
+        t.current_epoch = 1
+        t.last_epoch_scalars = {"train/box_loss": 1.2}
+        hooks["on_fit_epoch_end"](t)
+        hooks["on_train_end"](t)
+        lines = [json.loads(x) for x in
+                 (tmp_path / "metrics.jsonl").read_text().splitlines()]
+        assert lines[0]["event"] == "start" and lines[0]["params"]["lr0"] == 0.01
+        assert lines[1]["metrics"]["train/box_loss"] == 1.5
+        assert lines[-1]["event"] == "end"
+        assert any("results.csv" in a for a in lines[-1]["artifacts"])
+
+    def test_sdk_trackers_gate_on_missing_package(self, tmp_path):
+        from yolo_ad_refine_tpu.utils.callbacks import TRACKERS, tracker_callbacks
+
+        for name in ("wandb", "comet", "clearml", "dvc", "neptune"):
+            assert name in TRACKERS
+            assert tracker_callbacks(name, str(tmp_path)) == {}  # not installed

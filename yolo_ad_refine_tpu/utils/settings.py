@@ -37,6 +37,7 @@ class SettingsManager(dict):
             "api_key": "",
             "tensorboard": True,
             "mlflow": True,          # file-based local tracking works offline
+            "jsonl": True,           # dependency-free offline metrics log
             "clearml": False,
             "comet": False,
             "dvc": False,
