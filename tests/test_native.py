@@ -51,3 +51,70 @@ def test_letterbox_native_matches_python():
     assert pad_n == pytest.approx(pad_p, abs=0.5)
     # interpolation rounding differs by at most 1 LSB
     assert np.abs(out_n.astype(int) - out_p.astype(int)).max() <= 1
+
+
+class TestNativeLoader:
+    """csrc/yat_loader.cpp: libjpeg decode + letterbox threads."""
+
+    @pytest.fixture()
+    def jpegs(self, tmp_path):
+        import cv2
+
+        paths = []
+        r = np.random.default_rng(0)
+        for i, (h, w) in enumerate([(97, 143), (200, 100), (64, 64)]):
+            img = r.integers(0, 255, (h, w, 3), np.uint8)
+            # smooth it so JPEG loss doesn't dominate comparisons
+            img = cv2.GaussianBlur(img, (7, 7), 3)
+            p = tmp_path / f"im{i}.jpg"
+            cv2.imwrite(str(p), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            paths.append(p)
+        return paths
+
+    def test_single_image_matches_python_letterbox(self, jpegs):
+        import cv2
+
+        from yolo_ad_refine_tpu.data.augment import letterbox
+        from yolo_ad_refine_tpu.ops.native import load_image_native
+
+        res = load_image_native(jpegs[0], 96)
+        if res is None:
+            pytest.skip("native loader unavailable")
+        img_n, (h0, w0), r, (dw, dh) = res
+        ref_bgr = cv2.imread(str(jpegs[0]))
+        assert (h0, w0) == ref_bgr.shape[:2]
+        img_p, (rp, _), (dwp, dhp) = letterbox(ref_bgr, 96)
+        assert img_n.shape == img_p.shape
+        assert abs(r - rp) < 1e-6 and abs(dw - dwp) < 1e-6 and abs(dh - dhp) < 1e-6
+        # decode differs slightly (libjpeg idct variant) and resize taps are
+        # float vs cv2 fixed-point: compare loosely but meaningfully
+        diff = np.abs(img_n.astype(int) - img_p.astype(int))
+        assert np.mean(diff) < 2.0
+        assert np.percentile(diff, 99) <= 12
+
+    def test_batch_loader_order_and_meta(self, jpegs):
+        from yolo_ad_refine_tpu.ops.native import NativeBatchLoader, get_loader_lib
+
+        if get_loader_lib() is None:
+            pytest.skip("native loader unavailable")
+        loader = NativeBatchLoader(jpegs, imgsz=64, batch=2, threads=3)
+        batches = list(loader)
+        loader.close()
+        assert [b[0].shape[0] for b in batches] == [2, 1]
+        metas = np.concatenate([b[1] for b in batches])
+        assert metas[0][:2].tolist() == [97, 143]
+        assert metas[1][:2].tolist() == [200, 100]
+        assert metas[2][:2].tolist() == [64, 64]
+        assert metas[2][2] == 1.0  # 64 -> 64: ratio 1
+
+    def test_unreadable_file_skipped(self, jpegs, tmp_path):
+        from yolo_ad_refine_tpu.ops.native import NativeBatchLoader, get_loader_lib
+
+        if get_loader_lib() is None:
+            pytest.skip("native loader unavailable")
+        bad = tmp_path / "missing.jpg"
+        loader = NativeBatchLoader([jpegs[0], bad, jpegs[2]], imgsz=64,
+                                   batch=4, threads=2)
+        batches = list(loader)
+        loader.close()
+        assert sum(b[0].shape[0] for b in batches) == 2

@@ -115,3 +115,38 @@ def load_inference_source(source, vid_stride: int = 1):
     if s.isdigit() or s.startswith(("rtsp://", "rtmp://", "http://", "https://", "tcp://")):
         return LoadStreams(s, vid_stride)
     return LoadImagesAndVideos(source, vid_stride)
+
+
+class LoadImagesNative:
+    """GIL-free threaded JPEG decode+letterbox batches (csrc/yat_loader.cpp).
+
+    The high-throughput path for directory-scale inference where the
+    original frames aren't needed per-pixel (benchmarking, validation-style
+    sweeps): yields (paths, imgs (b, s, s, 3) BGR uint8, meta (b, 5)
+    [h0, w0, ratio, dw, dh]) with boxes rescalable to original coordinates
+    from meta alone. Falls back is the caller's job (raises RuntimeError
+    when the native library can't build).
+    """
+
+    def __init__(self, source, imgsz: int, batch: int = 16, threads: int = 4):
+        from pathlib import Path
+
+        from yolo_ad_refine_tpu.ops.native import NativeBatchLoader
+
+        p = Path(source)
+        if p.is_dir():
+            self.paths = sorted(
+                q for q in p.iterdir() if q.suffix.lower() in (".jpg", ".jpeg")
+            )
+        else:
+            self.paths = [p]
+        self._inner = NativeBatchLoader(self.paths, imgsz, batch, threads)
+        self._cursor = 0
+
+    def __iter__(self):
+        for imgs, meta in self._inner:
+            n = imgs.shape[0]
+            paths = self.paths[self._cursor : self._cursor + n]
+            self._cursor += n
+            yield paths, imgs, meta
+        self._inner.close()

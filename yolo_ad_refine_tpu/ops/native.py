@@ -101,3 +101,115 @@ def letterbox_native(img: np.ndarray, size: int, scaleup: bool = True):
                       size, int(scaleup),
                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), _fptr(meta))
     return out, (float(meta[0]), float(meta[0])), (float(meta[1]), float(meta[2]))
+
+
+# ---------------------------------------------------------------------------
+# Native threaded image loader (csrc/yat_loader.cpp): libjpeg decode +
+# letterbox on a std::thread pool — the reference's DataLoader-worker
+# equivalent (reference data/build.py:127) without Python/GIL in the loop.
+# ---------------------------------------------------------------------------
+
+LOADER_CSRC = ROOT.parent / "csrc" / "yat_loader.cpp"
+_LOADER_LIB = None
+_LOADER_TRIED = False
+
+
+def get_loader_lib():
+    global _LOADER_LIB, _LOADER_TRIED
+    if _LOADER_LIB is None and not _LOADER_TRIED:
+        _LOADER_TRIED = True
+        if not LOADER_CSRC.exists():
+            return None
+        cache = Path(os.environ.get("YAT_NATIVE_CACHE",
+                                    os.path.expanduser("~/.cache/yolo_ad_refine_tpu")))
+        cache.mkdir(parents=True, exist_ok=True)
+        tag = hashlib.sha1(LOADER_CSRC.read_bytes()).hexdigest()[:12]
+        so = cache / f"libyat_loader_{tag}.so"
+        if not so.exists():
+            cmd = ["g++", "-O3", "-shared", "-fPIC", str(LOADER_CSRC),
+                   "-o", str(so), "-ljpeg"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+                LOGGER.info(f"built native loader: {so.name}")
+            except (subprocess.SubprocessError, FileNotFoundError) as e:
+                LOGGER.warning(f"native loader build failed ({e})")
+                return None
+        lib = ctypes.CDLL(str(so))
+        lib.yat_load_image.restype = ctypes.c_int
+        lib.yat_load_image.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.yat_loader_create.restype = ctypes.c_void_p
+        lib.yat_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.yat_loader_next.restype = ctypes.c_int
+        lib.yat_loader_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.yat_loader_destroy.restype = None
+        lib.yat_loader_destroy.argtypes = [ctypes.c_void_p]
+        _LOADER_LIB = lib
+    return _LOADER_LIB
+
+
+def load_image_native(path: str, imgsz: int):
+    """Decode+letterbox one JPEG natively. Returns (img (s,s,3) BGR uint8,
+    (h0, w0), ratio, (dw, dh)) or None when unavailable/not a jpeg."""
+    lib = get_loader_lib()
+    if lib is None:
+        return None
+    out = np.empty((imgsz, imgsz, 3), np.uint8)
+    meta = np.zeros(5, np.float32)
+    rc = lib.yat_load_image(str(path).encode(), imgsz,
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                            _fptr(meta))
+    if rc != 0:
+        return None
+    return out, (int(meta[0]), int(meta[1])), float(meta[2]), (float(meta[3]), float(meta[4]))
+
+
+class NativeBatchLoader:
+    """Threaded decode+letterbox batches over a list of JPEG paths.
+
+    Iterates (imgs (b, s, s, 3) uint8 BGR, meta (b, 5) [h0, w0, r, dw, dh]).
+    """
+
+    def __init__(self, paths, imgsz: int, batch: int, threads: int = 4):
+        lib = get_loader_lib()
+        if lib is None:
+            raise RuntimeError("native loader unavailable")
+        self._lib = lib
+        self.paths = [str(p) for p in paths]
+        self.imgsz = imgsz
+        self.batch = batch
+        arr = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths])
+        self._keepalive = arr
+        self._h = lib.yat_loader_create(arr, len(self.paths), imgsz, batch,
+                                        threads)
+
+    def __iter__(self):
+        while True:
+            imgs = np.empty((self.batch, self.imgsz, self.imgsz, 3), np.uint8)
+            meta = np.zeros((self.batch, 5), np.float32)
+            n = self._lib.yat_loader_next(
+                self._h, imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                _fptr(meta))
+            if n == 0:
+                break
+            yield imgs[:n], meta[:n]
+
+    def close(self):
+        if self._h:
+            self._lib.yat_loader_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001,S110 - interpreter teardown
+            pass
