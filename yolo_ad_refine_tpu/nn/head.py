@@ -466,19 +466,22 @@ class CrossTaskInteraction(nn.Module):
 class DyDCNv2(nn.Module):
     """Modulated deformable conv 3x3 + GroupNorm(16) (reference head.py:751-782).
 
-    The deformable sampling replaces mmcv.ops.ModulatedDeformConv2d with the
-    same kernel in BOTH train and eval (no train/eval semantic divergence):
+    The deformable sampling replaces mmcv.ops.ModulatedDeformConv2d. Two
+    implementations, both with bilinear/zero-pad mmcv semantics:
 
-    - TPU backend: the Pallas bounded-window kernel (ops/deform_pallas.py) —
-      exact bilinear/zero-pad semantics for |offset| <= radius (offsets
-      clipped to ±radius; trained alignment offsets stay well inside).
-      The XLA gather formulation is index-rate-bound on TPU: 39 ms of the
-      flagship's 68 ms bs32 forward (chained-executable measurement).
-    - other backends: the exact unbounded single-gather kernel
-      (ops/deform.py), which is fast on CPU and keeps the cross-stack
-      parity tests bit-exact.
+    - ops/deform_pallas.py: Pallas bounded-window kernel, exact for
+      |offset| <= radius (clipped beyond). Its custom VJP avoids XLA's
+      serialized gather-adjoint scatter: full flagship train step 334 ms
+      vs 5490 ms with the gather formulation (bs16/640, measured).
+    - ops/deform.py: exact unbounded XLA gather. Faster for INFERENCE
+      in-graph (67.6 vs 92.4 ms full fwd bs32 — the pallas call boundary
+      costs more than its kernel saves when there is no backward).
 
-    Override with YAT_DCN_IMPL={pallas,exact}.
+    Auto policy on TPU: train -> pallas, eval -> exact. The two agree to
+    float tolerance whenever |offset| <= radius (tests/test_dcn_pallas.py);
+    monitor jnp.abs(offset).max() against the radius on trained
+    checkpoints. Other backends always use the exact gather (CPU tests
+    stay bit-exact). Override with YAT_DCN_IMPL={pallas,exact}.
     """
 
     out_channels: int
@@ -498,7 +501,7 @@ class DyDCNv2(nn.Module):
         )
         impl = os.environ.get("YAT_DCN_IMPL", "auto")
         use_pallas = (impl == "pallas") or (
-            impl == "auto" and jax.default_backend() == "tpu"
+            impl == "auto" and train and jax.default_backend() == "tpu"
         )
         if use_pallas:
             from yolo_ad_refine_tpu.ops.deform_pallas import (
