@@ -45,7 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 K = 3           # kernel size (3x3, the AYHead configuration)
 KK = K * K
-CH = 8          # output rows per chunk
+CH = 8          # output rows per chunk (forward)
+CH_BWD = 4      # backward: halved — the 9-tap unroll's live temporaries
+                # scale with the chunk and overflow VMEM at CH=8/P3
 
 
 def _hat(u):
@@ -63,42 +65,53 @@ def _dhat(u):
 
 
 def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, w, s,
-                radius, cout):
+                radius, cout, ch):
     """One batch image. xs (1, Hc+2S, W+2S, C), off (1, Hc, W, 18) f32,
     mask (1, Hc, W, 9) f32, w (KK*C, Cout), out (1, Hc, W, Cout) f32."""
     c = xs_ref.shape[-1]
 
     def chunk_body(ci, _):
-        y0 = ci * CH
-        src = xs_ref[0, pl.ds(y0, CH + 2 * s), :, :]          # (CH+2S, W+2S, C)
-        off = off_ref[0, pl.ds(y0, CH), :, :]                 # (CH, W, 18)
-        msk = mask_ref[0, pl.ds(y0, CH), :, :]                # (CH, W, 9)
-        acc_out = jnp.zeros((CH * w, cout), jnp.float32)
+        y0 = ci * ch
+        off = off_ref[0, pl.ds(y0, ch), :, :]                 # (CH, W, 18)
+        msk = mask_ref[0, pl.ds(y0, ch), :, :]                # (CH, W, 9)
+        acc_out = jnp.zeros((ch * w, cout), jnp.float32)
         for t in range(KK):
             ty, tx = t // K - 1, t % K - 1
             offy = off[:, :, 2 * t][..., None]                # (CH, W, 1)
             offx = off[:, :, 2 * t + 1][..., None]
             m = msk[:, :, t][..., None]
-            acc = jnp.zeros((CH, w, c), jnp.float32)
-            for dy in range(ty - radius - 1, ty + radius + 2):
-                wy = _hat(offy + float(ty - dy))
-                row = jnp.zeros((CH, w, c), jnp.float32)
+
+            # fori over dy (dynamic-major slice, cheap) with dx statically
+            # unrolled (sublane slices must be static): a fully unrolled
+            # 81-step body makes Mosaic hold every temporary live on the
+            # VMEM stack (~90 MB at trivial shapes)
+            def dy_body(j, acc, *, ty=ty, tx=tx, offy=offy, offx=offx):
+                dy = ty - radius - 1 + j
+                wy = _hat(offy + (ty - dy).astype(jnp.float32))
+                # strip read straight off the VMEM ref: Mosaic has no
+                # dynamic_slice lowering for values, and ref reads with a
+                # dynamic major start are cheap
+                src_dy = xs_ref[0, pl.ds(y0 + s + dy, ch), :, :].astype(
+                    jnp.float32)  # one cast per dy, not one per dx slice
+                row = jnp.zeros((ch, w, c), jnp.float32)
                 for dx in range(tx - radius - 1, tx + radius + 2):
-                    sl = src[s + dy : s + dy + CH,
-                             s + dx : s + dx + w, :].astype(jnp.float32)
+                    sl = src_dy[:, s + dx : s + dx + w, :]
                     row = row + _hat(offx + float(tx - dx)) * sl
-                acc = acc + wy * row
-            sampled = (acc * m).reshape(CH * w, c).astype(w_ref.dtype)
+                return acc + wy * row
+
+            acc = jax.lax.fori_loop(0, 2 * radius + 3, dy_body,
+                                    jnp.zeros((ch, w, c), jnp.float32))
+            sampled = (acc * m).reshape(ch * w, c).astype(w_ref.dtype)
             acc_out = acc_out + jax.lax.dot_general(
                 sampled, w_ref[t * c : (t + 1) * c, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0, pl.ds(y0, CH), :, :] = acc_out.reshape(CH, w, cout).astype(
+        out_ref[0, pl.ds(y0, ch), :, :] = acc_out.reshape(ch, w, cout).astype(
             out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, hc // CH, chunk_body, 0)
+    jax.lax.fori_loop(0, hc // ch, chunk_body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -108,7 +121,7 @@ def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, w, s,
 
 def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
                 dxs_ref, doff_ref, dmask_ref, dw_ref, *, hc, w, s,
-                radius, cout):
+                radius, cout, ch):
     """Gradients for one image. g (1, Hc, W, Cout) f32 upstream. Outputs:
     dxs (1, Hc+2S, W+2S, C) f32, doff (1, Hc, W, 18) f32,
     dmask (1, Hc, W, 9) f32, dw (1, KK*C, Cout) f32."""
@@ -119,15 +132,13 @@ def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
     dw_ref[0, :, :] = jnp.zeros((KK * c, cout), jnp.float32)
 
     def chunk_body(ci, _):
-        y0 = ci * CH
-        src = xs_ref[0, pl.ds(y0, CH + 2 * s), :, :]
-        off = off_ref[0, pl.ds(y0, CH), :, :]
-        msk = mask_ref[0, pl.ds(y0, CH), :, :]
-        gout = g_ref[0, pl.ds(y0, CH), :, :]                  # (CH, W, Cout)
-        gflat = gout.reshape(CH * w, cout)
+        y0 = ci * ch
+        off = off_ref[0, pl.ds(y0, ch), :, :]
+        msk = mask_ref[0, pl.ds(y0, ch), :, :]
+        gout = g_ref[0, pl.ds(y0, ch), :, :]                  # (CH, W, Cout)
+        gflat = gout.reshape(ch * w, cout)
         doff_cols = []
         dmask_cols = []
-        dxs_acc = jnp.zeros((CH + 2 * s, src.shape[1], c), jnp.float32)
         for t in range(KK):
             ty, tx = t // K - 1, t % K - 1
             offy = off[:, :, 2 * t][..., None]
@@ -138,56 +149,69 @@ def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
                 gflat, w_ref[t * c : (t + 1) * c, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(CH, w, c)
+            ).reshape(ch, w, c)
             gsm = gs * m
-            acc_sampled = jnp.zeros((CH, w, c), jnp.float32)
-            doffy = jnp.zeros((CH, w, 1), jnp.float32)
-            doffx = jnp.zeros((CH, w, 1), jnp.float32)
-            for dy in range(ty - radius - 1, ty + radius + 2):
-                uy = offy + float(ty - dy)
+
+            def dy_body(j, carry, *, ty=ty, tx=tx, offy=offy, offx=offx,
+                        gsm=gsm):
+                acc_sampled, doffy, doffx = carry
+                dy = ty - radius - 1 + j
+                uy = offy + (ty - dy).astype(jnp.float32)
                 wy, dwy = _hat(uy), _dhat(uy)
+                src_dy = xs_ref[0, pl.ds(y0 + s + dy, ch), :, :].astype(
+                    jnp.float32)  # one cast per dy, not one per dx slice
+                strip_segs = []  # per-dx width-offset pieces of the dx strip
                 for dx in range(tx - radius - 1, tx + radius + 2):
                     ux = offx + float(tx - dx)
                     wx, dwx = _hat(ux), _dhat(ux)
-                    sl = src[s + dy : s + dy + CH,
-                             s + dx : s + dx + w, :].astype(jnp.float32)
+                    sl = src_dy[:, s + dx : s + dx + w, :]
                     acc_sampled = acc_sampled + (wy * wx) * sl
                     cdot = jnp.sum(gsm * sl, axis=-1, keepdims=True)
                     doffy = doffy + dwy * wx * cdot
                     doffx = doffx + wy * dwx * cdot
-                    # transpose of the shifted read, into the chunk-local
-                    # accumulator (padded so every shift lands statically;
-                    # zero-size segments are skipped — Mosaic rejects them)
-                    wp_ = src.shape[1]
-                    seg_w = [jnp.zeros((CH, s + dx, c), jnp.float32),
-                             (wy * wx) * gsm,
-                             jnp.zeros((CH, wp_ - (s + dx) - w, c), jnp.float32)]
-                    rowblk = jnp.concatenate(
-                        [seg for seg in seg_w if seg.shape[1] > 0], 1)
-                    seg_n = [jnp.zeros((s + dy, wp_, c), jnp.float32),
-                             rowblk,
-                             jnp.zeros((s - dy, wp_, c), jnp.float32)]
-                    dxs_acc = dxs_acc + jnp.concatenate(
-                        [seg for seg in seg_n if seg.shape[0] > 0], 0)
+                    strip_segs.append((dx, (wy * wx) * gsm))
+                # transpose of the shifted reads: ONE width-padded strip
+                # accumulated in registers, ONE ref RMW per (tap, dy) — a
+                # per-(dy, dx) ref RMW was 81 read-modify-writes per tap
+                # per chunk and dominated the backward (250 ms/bs32)
+                wp_ = w + 2 * s
+                strip = jnp.zeros((ch, wp_, c), jnp.float32)
+                for dx, piece in strip_segs:
+                    segs = []
+                    if s + dx > 0:
+                        segs.append(jnp.zeros((ch, s + dx, c), jnp.float32))
+                    segs.append(piece)
+                    if wp_ - (s + dx) - w > 0:
+                        segs.append(jnp.zeros((ch, wp_ - (s + dx) - w, c),
+                                              jnp.float32))
+                    strip = strip + jnp.concatenate(segs, 1)
+                dxs_ref[0, pl.ds(y0 + s + dy, ch), :, :] += strip
+                return acc_sampled, doffy, doffx
+
+            acc_sampled, doffy, doffx = jax.lax.fori_loop(
+                0, 2 * radius + 3, dy_body,
+                (jnp.zeros((ch, w, c), jnp.float32),
+                 jnp.zeros((ch, w, 1), jnp.float32),
+                 jnp.zeros((ch, w, 1), jnp.float32)),
+            )
             dmask_cols.append(jnp.sum(gs * acc_sampled, axis=-1, keepdims=True))
             doff_cols.append(doffy)
             doff_cols.append(doffx)
             # dW_t = sampled^T @ g  (C, Cout)
-            sampled = (acc_sampled * m).reshape(CH * w, c)
+            sampled = (acc_sampled * m).reshape(ch * w, c)
             dw_ref[0, t * c : (t + 1) * c, :] += jax.lax.dot_general(
                 sampled, gflat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        dxs_ref[0, pl.ds(y0, CH + 2 * s), :, :] += dxs_acc
         interleaved = []
         for t in range(KK):
             interleaved += [doff_cols[2 * t], doff_cols[2 * t + 1]]
-        doff_ref[0, pl.ds(y0, CH), :, :] = jnp.concatenate(interleaved, -1)
-        dmask_ref[0, pl.ds(y0, CH), :, :] = jnp.concatenate(dmask_cols, -1)
+        doff_ref[0, pl.ds(y0, ch), :, :] = jnp.concatenate(interleaved, -1)
+        dmask_ref[0, pl.ds(y0, ch), :, :] = jnp.concatenate(dmask_cols, -1)
         return 0
 
-    jax.lax.fori_loop(0, hc // CH, chunk_body, 0)
+    jax.lax.fori_loop(0, hc // ch, chunk_body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -195,11 +219,11 @@ def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
 # ---------------------------------------------------------------------------
 
 
-def _prep(x, offset, mask, radius):
+def _prep(x, offset, mask, radius, ch):
     """Pad to the chunked layout. Returns (xs, offp, maskp, dims)."""
     b, h, w, c = x.shape
     s = radius + 2                      # max window reach
-    hc = -(-h // CH) * CH               # rows padded to a chunk multiple
+    hc = -(-h // ch) * ch               # rows padded to a chunk multiple
     xs = jnp.pad(x, ((0, 0), (s, s + (hc - h)), (s, s), (0, 0)))
     offp = jnp.pad(offset.astype(jnp.float32),
                    ((0, 0), (0, hc - h), (0, 0), (0, 0)))
@@ -228,10 +252,11 @@ def _fwd_impl(x, offset, mask, weight, radius):
     b, h, w, c = x.shape
     cout = weight.shape[-1]
     offset = jnp.clip(offset, -float(radius), float(radius))
-    xs, offp, maskp, (s, hc) = _prep(x, offset, mask, radius)
+    xs, offp, maskp, (s, hc) = _prep(x, offset, mask, radius, CH)
     wflat = weight.reshape(KK * c, cout).astype(x.dtype)
 
-    kernel = partial(_fwd_kernel, hc=hc, w=w, s=s, radius=radius, cout=cout)
+    kernel = partial(_fwd_kernel, hc=hc, w=w, s=s, radius=radius, cout=cout,
+                     ch=CH)
     spec = lambda *shape: pl.BlockSpec((1, *shape), lambda i: (i,) + (0,) * len(shape),  # noqa: E731
                                        memory_space=pltpu.VMEM)
     out_p = pl.pallas_call(
@@ -252,7 +277,7 @@ def _fwd_impl(x, offset, mask, weight, radius):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
     )(xs, offp, maskp, wflat)
@@ -270,11 +295,12 @@ def _bwd_rule(radius, res, gout):
     x, offset, mask, weight = res        # offset here is already clipped
     b, h, w, c = x.shape
     cout = weight.shape[-1]
-    xs, offp, maskp, (s, hc) = _prep(x, offset, mask, radius)
+    xs, offp, maskp, (s, hc) = _prep(x, offset, mask, radius, CH_BWD)
     wflat = weight.reshape(KK * c, cout).astype(jnp.float32)
     gpad = jnp.pad(gout.astype(jnp.float32), ((0, 0), (0, hc - h), (0, 0), (0, 0)))
 
-    kernel = partial(_bwd_kernel, hc=hc, w=w, s=s, radius=radius, cout=cout)
+    kernel = partial(_bwd_kernel, hc=hc, w=w, s=s, radius=radius, cout=cout,
+                     ch=CH_BWD)
     spec = lambda *shape: pl.BlockSpec((1, *shape), lambda i: (i,) + (0,) * len(shape),  # noqa: E731
                                        memory_space=pltpu.VMEM)
     dxs, doffp, dmaskp, dw_b = pl.pallas_call(
@@ -301,7 +327,7 @@ def _bwd_rule(radius, res, gout):
             jax.ShapeDtypeStruct((b, KK * c, cout), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
     )(xs, offp, maskp, wflat, gpad)
