@@ -145,3 +145,44 @@ class TestDataset:
         dl = DataLoader(ds, batch_size=4)
         dl.close_mosaic()
         assert not ds.mosaic_enabled
+
+
+class TestImageCache:
+    """reference base.py:189-259 cache_images RAM/disk."""
+
+    def _mkdata(self, tmp_path, n=3):
+        import cv2
+
+        (tmp_path / "images").mkdir()
+        (tmp_path / "labels").mkdir()
+        for i in range(n):
+            img = np.random.default_rng(i).integers(0, 255, (40 + i, 60, 3), np.uint8)
+            cv2.imwrite(str(tmp_path / "images" / f"im{i}.jpg"), img)
+            (tmp_path / "labels" / f"im{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        return tmp_path / "images"
+
+    def test_ram_cache_hits(self, tmp_path):
+        from yolo_ad_refine_tpu.data.dataset import YOLODataset
+
+        ds = YOLODataset(self._mkdata(tmp_path), imgsz=64, cache=False,
+                         cache_images="ram")
+        a, shape_a = ds.load_image(0)
+        assert ds._ram[0] is not None
+        b, shape_b = ds.load_image(0)
+        assert shape_a == shape_b
+        np.testing.assert_array_equal(a, b)
+        b[:] = 0  # caller mutation must not poison the cache
+        c, _ = ds.load_image(0)
+        assert c.any()
+
+    def test_disk_cache_roundtrip(self, tmp_path):
+        from yolo_ad_refine_tpu.data.dataset import YOLODataset
+
+        root = self._mkdata(tmp_path)
+        ds = YOLODataset(root, imgsz=64, cache=False, cache_images="disk")
+        a, shape_a = ds.load_image(1)
+        sidecars = list(root.glob("*.yat.npz"))
+        assert len(sidecars) == 1
+        b, shape_b = ds.load_image(1)  # served from the sidecar
+        assert shape_a == shape_b
+        np.testing.assert_array_equal(a, b)

@@ -143,7 +143,8 @@ class TestAYHeadE2E:
 
         m = build_detection_model(TINY_AY_CFG, nc=3, imgsz=64)
         loss_fn = DetectionLoss(nc=3, strides=m.strides)
-        tx, _, _ = build_optimizer(m.variables["params"], optimizer="SGD", epochs=1, nb=1, batch=2)
+        tx, _, _ = build_optimizer(m.variables["params"], optimizer="SGD", epochs=1, nb=1,
+                                   batch=2, nbs=2)  # nbs=batch: no accumulation, one real step
         state = TrainState.create(m.variables, tx)
         step = jax.jit(make_train_step(m.graph, loss_fn, tx))
         r = np.random.default_rng(0)

@@ -86,7 +86,8 @@ class YOLODataset:
     def __init__(self, img_path: str | Path, imgsz: int = 640, augment: bool = False,
                  hyp: dict | None = None, max_boxes: int = 128, nc: int = 80,
                  fraction: float = 1.0, cache: bool = True, task: str = "detect",
-                 kpt_shape: tuple | None = None, flip_idx: list | None = None):
+                 kpt_shape: tuple | None = None, flip_idx: list | None = None,
+                 cache_images: str | bool = False):
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp or {}
@@ -103,6 +104,11 @@ class YOLODataset:
             self.im_files = self.im_files[: max(1, int(len(self.im_files) * fraction))]
         self.label_files = [img2label_path(f) for f in self.im_files]
         self.labels = self._load_labels(cache)
+        # image cache (reference base.py:189-259 cache_images): 'ram' keeps
+        # the resized arrays in memory; 'disk' writes .npy sidecars decoded
+        # once and memory-mapped after
+        self.cache_images = {True: "ram"}.get(cache_images, cache_images)
+        self._ram: list = [None] * len(self.im_files)
         self.mosaic_enabled = self.augment and self.hyp.get("mosaic", 1.0) > 0
 
     @staticmethod
@@ -224,7 +230,20 @@ class YOLODataset:
 
     # -- raw loading ---------------------------------------------------------
     def load_image(self, i: int):
-        """Load BGR image, resize long side to imgsz (reference base.py:151)."""
+        """Load BGR image, resize long side to imgsz (reference base.py:151),
+        with optional RAM/disk caching of the resized result."""
+        if self.cache_images == "ram" and self._ram[i] is not None:
+            im, shape0 = self._ram[i]
+            return im.copy(), shape0
+        npy = None
+        if self.cache_images == "disk":
+            npy = Path(self.im_files[i]).with_suffix(".yat.npz")
+            if npy.exists():
+                try:
+                    z = np.load(npy)
+                    return z["img"], tuple(int(v) for v in z["shape0"])
+                except Exception:  # noqa: BLE001 - stale/corrupt sidecar
+                    pass
         im = cv2.imread(self.im_files[i])
         if im is None:
             raise FileNotFoundError(f"image not found: {self.im_files[i]}")
@@ -233,6 +252,10 @@ class YOLODataset:
         if r != 1:
             im = cv2.resize(im, (min(int(w0 * r), self.imgsz), min(int(h0 * r), self.imgsz)),
                             interpolation=cv2.INTER_LINEAR)
+        if self.cache_images == "ram":
+            self._ram[i] = (im.copy(), (h0, w0))
+        elif self.cache_images == "disk" and npy is not None:
+            np.savez(npy, img=im, shape0=np.asarray([h0, w0]))
         return im, (h0, w0)
 
     def load_item(self, i: int, with_shape: bool = False):

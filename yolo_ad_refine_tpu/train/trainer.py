@@ -145,6 +145,7 @@ class DetectionTrainer:
         train_ds = YOLODataset(data["train"], imgsz=self.imgsz, augment=True, hyp=hyp,
                                nc=data["nc"], max_boxes=max_boxes,
                                fraction=float(args.get("fraction", 1.0)), task=self.task,
+                               cache_images=args.get("cache", False),
                                **task_kw)
         self.train_loader = DataLoader(train_ds, batch_size=self.batch_size, shuffle=True,
                                        seed=int(args.get("seed", 0)), drop_last=True)
