@@ -53,6 +53,21 @@ def entrypoint(argv: list[str] | None = None) -> int:
     if argv[0] == "cfg":
         yaml_print(yaml_load(DEFAULT_CFG_PATH))
         return 0
+    if argv[0] == "checks":
+        # environment report (reference cfg/__init__.py special mode ->
+        # checks.collect_system_info)
+        import platform
+
+        import jax
+
+        print(f"python   {platform.python_version()} on {platform.platform()}")
+        print(f"jax      {jax.__version__}  backend={jax.default_backend()}")
+        print(f"devices  {jax.devices()}")
+        from yolo_ad_refine_tpu.ops.native import get_lib, get_loader_lib
+
+        print(f"native ops    {'ok' if get_lib() else 'unavailable'}")
+        print(f"native loader {'ok' if get_loader_lib() else 'unavailable'}")
+        return 0
     if argv[0] == "settings":
         from yolo_ad_refine_tpu.utils.settings import get_settings
 
