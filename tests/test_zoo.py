@@ -40,7 +40,11 @@ def _our_param_count(cfg_path):
 @pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
 @pytest.mark.parametrize("ours,ref", PAIRS)
 def test_zoo_param_parity(ours, ref):
-    from tests.test_parity import DFL_FROZEN_PARAMS, _build_torch_reference
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_parity import DFL_FROZEN_PARAMS, _build_torch_reference
 
     from yolo_ad_refine_tpu.utils import ROOT
 
