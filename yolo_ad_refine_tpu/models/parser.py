@@ -303,6 +303,13 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
                 module = CE.ChannelAttention(dtype=dtype)
             else:
                 module = CE.SpatialAttention(args[0] if args else 7, dtype=dtype)
+        elif name in ("EMA", "SimAM", "TripletAttention", "LSKBlock",
+                      "SEAttention", "EfficientChannelAttention"):
+            from yolo_ad_refine_tpu.nn import attention as AT
+
+            c2 = ch_list[f]  # attention-zoo gates (reference attention.py)
+            module = getattr(AT, name)(dtype=dtype) if name != "SimAM" \
+                else AT.SimAM()
         elif name == "ELA_HSFPN":
             c2 = ch_list[f]
             flag = args[0] if args else True
