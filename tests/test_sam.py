@@ -78,3 +78,34 @@ def test_sam_b_param_parity():
     # the PE gaussian matrix (2, 128) is a torch BUFFER but a (frozen) flax
     # param here; image_encoder and mask_decoder totals are exactly equal
     assert j_total - 256 == t_total, (j_total, t_total)
+
+
+def test_mobile_sam_predicts():
+    from yolo_ad_refine_tpu.models.sam import SAM
+
+    sam = SAM(variant="mobile_sam", img_size=128)
+    sam.set_image(_square_img())
+    masks, iou = sam.predict(points=[[60, 60]])
+    assert masks.shape == (3, 120, 160)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+def test_mobile_sam_param_parity():
+    """TinyViT mobile_sam parameter count equals the torch build."""
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_parity import _ensure_reference_importable
+
+    _ensure_reference_importable()
+    from ultralytics.models.sam.build import build_mobile_sam
+
+    import jax
+
+    from yolo_ad_refine_tpu.models.sam import build_sam
+
+    tmodel = build_mobile_sam()
+    t_total = sum(p.numel() for p in tmodel.parameters())
+    _, variables = build_sam("mobile_sam", img_size=1024)
+    j_total = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    # PE gaussian matrix (2, 128): torch buffer, frozen flax param here
+    assert j_total - 256 == t_total, (j_total, t_total, j_total - t_total)

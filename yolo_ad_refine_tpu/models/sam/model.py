@@ -40,6 +40,7 @@ class SAMModel(nn.Module):
     """
 
     img_size: int = 1024
+    encoder_type: str = "vit"           # 'vit' | 'tiny' (mobile_sam TinyViT)
     encoder_embed_dim: int = 768
     encoder_depth: int = 12
     encoder_num_heads: int = 12
@@ -49,11 +50,17 @@ class SAMModel(nn.Module):
 
     def setup(self):
         g = self.img_size // 16
-        self.image_encoder = ImageEncoderViT(
-            img_size=self.img_size, embed_dim=self.encoder_embed_dim,
-            depth=self.encoder_depth, num_heads=self.encoder_num_heads,
-            global_attn_indexes=self.encoder_global_attn_indexes,
-            out_chans=self.prompt_embed_dim, dtype=self.dtype)
+        if self.encoder_type == "tiny":
+            from yolo_ad_refine_tpu.models.sam.tiny_encoder import TinyViT
+
+            self.image_encoder = TinyViT(img_size=self.img_size,
+                                         dtype=self.dtype)
+        else:
+            self.image_encoder = ImageEncoderViT(
+                img_size=self.img_size, embed_dim=self.encoder_embed_dim,
+                depth=self.encoder_depth, num_heads=self.encoder_num_heads,
+                global_attn_indexes=self.encoder_global_attn_indexes,
+                out_chans=self.prompt_embed_dim, dtype=self.dtype)
         self.prompt_encoder = PromptEncoder(
             embed_dim=self.prompt_embed_dim, image_embedding_size=(g, g),
             input_image_size=(self.img_size, self.img_size), dtype=self.dtype)
@@ -81,6 +88,8 @@ SAM_VARIANTS = {
                   encoder_num_heads=16, encoder_global_attn_indexes=(5, 11, 17, 23)),
     "sam_h": dict(encoder_embed_dim=1280, encoder_depth=32,
                   encoder_num_heads=16, encoder_global_attn_indexes=(7, 15, 23, 31)),
+    # mobile_sam (reference build.py:56-66, TinyViT trunk)
+    "mobile_sam": dict(encoder_type="tiny"),
     # tiny config for tests (not a reference variant)
     "sam_test": dict(encoder_embed_dim=32, encoder_depth=2,
                      encoder_num_heads=2, encoder_global_attn_indexes=(1,)),
@@ -106,8 +115,12 @@ def build_sam(variant: str = "sam_b", img_size: int = 1024, dtype=jnp.float32,
         masks=jnp.zeros((1, g4, g4, 1), jnp.float32),
         method=SAMModel.decode,
     )
-    params = {**dec_vars["params"], **variables["params"]}
-    return model, {"params": params}
+    out = {"params": {**dec_vars["params"], **variables["params"]}}
+    for coll in set(variables) | set(dec_vars):
+        if coll == "params":
+            continue
+        out[coll] = {**dec_vars.get(coll, {}), **variables.get(coll, {})}
+    return model, out
 
 
 class SAM:
