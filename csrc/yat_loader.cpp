@@ -158,7 +158,14 @@ struct Loader {
         metas[i].resize(5);
         letterbox(img, slots[i].data(), imgsz, metas[i].data());
       }
-      done[i].store(ok);
+      {
+        // Publish under the mutex: next() evaluates its wait predicate under
+        // mu, so a store+notify outside the lock can land between the
+        // predicate check and the block — a lost wakeup that hangs next()
+        // forever if this was the last pending item.
+        std::lock_guard<std::mutex> g(mu);
+        done[i].store(ok);
+      }
       cv.notify_all();
     }
   }

@@ -181,8 +181,12 @@ class TestImageCache:
         root = self._mkdata(tmp_path)
         ds = YOLODataset(root, imgsz=64, cache=False, cache_images="disk")
         a, shape_a = ds.load_image(1)
-        sidecars = list(root.glob("*.yat.npz"))
+        sidecars = list(root.glob("*.yat64.npz"))  # imgsz-keyed sidecar name
         assert len(sidecars) == 1
         b, shape_b = ds.load_image(1)  # served from the sidecar
         assert shape_a == shape_b
         np.testing.assert_array_equal(a, b)
+        # a different imgsz must NOT be served the 64-px sidecar
+        ds96 = YOLODataset(root, imgsz=96, cache=False, cache_images="disk")
+        c, _ = ds96.load_image(1)
+        assert max(c.shape[:2]) == 96

@@ -237,7 +237,10 @@ class YOLODataset:
             return im.copy(), shape0
         npy = None
         if self.cache_images == "disk":
-            npy = Path(self.im_files[i]).with_suffix(".yat.npz")
+            # imgsz is part of the sidecar name: the cached array is the
+            # imgsz-resized decode, so a cache written at a smaller imgsz must
+            # not be served for a larger one (it would silently cap resolution)
+            npy = Path(self.im_files[i]).with_suffix(f".yat{self.imgsz}.npz")
             if npy.exists():
                 try:
                     z = np.load(npy)

@@ -151,6 +151,7 @@ class SAM:
                 method=SAMModel.decode),
             static_argnames=("mm",))
         self._embeddings = None
+        self._last_lowres = None
         self._orig_shape = None
         self._scale = 1.0
 
@@ -194,6 +195,9 @@ class SAM:
         masks = np.asarray(masks[0], np.float32)      # (k, 4g, 4g) logits
         iou = np.asarray(iou[0], np.float32)
         order = np.argsort(-iou)
+        # keep the low-res logits in the SAME sorted order as the returned
+        # masks so generate()'s stability scoring reads the right candidate
+        self._last_lowres = masks[order]
         return self._postprocess(masks[order]), iou[order]
 
     def _postprocess(self, lowres_masks: np.ndarray) -> np.ndarray:
@@ -229,9 +233,11 @@ class SAM:
                 px, py = (ix + 0.5) * step_x, (iy + 0.5) * step_y
                 masks, iou = self.predict(points=[[px, py]],
                                           multimask_output=True)
-                # stability: IoU between masks thresholded at +/- offset
+                # stability: IoU between masks thresholded at +/- offset.
+                # _last_lowres is the score-sorted logits stash from
+                # predict() — same permutation as masks/iou.
                 for m_bool, score, logits in zip(
-                        masks, iou, self._last_logits(px, py)):
+                        masks, iou, self._last_lowres):
                     if score < pred_iou_thresh:
                         continue
                     hi = logits > stability_offset
@@ -248,16 +254,6 @@ class SAM:
                                   "predicted_iou": float(score),
                                   "stability_score": float(stability)})
         return self._nms(cands, nms_iou)
-
-    def _last_logits(self, px, py):
-        """Re-decode to recover low-res logits for stability scoring."""
-        pts = np.zeros((1, self.MAX_POINTS, 2), np.float32)
-        lab = np.full((1, self.MAX_POINTS), -1.0, np.float32)
-        pts[0, 0] = (px * self._scale, py * self._scale)
-        lab[0, 0] = 1.0
-        masks, _ = self._decode_pts(self.variables, self._embeddings,
-                                    jnp.asarray(pts), jnp.asarray(lab), True)
-        return np.asarray(masks[0], np.float32)
 
     @staticmethod
     def _nms(cands: list, iou_thres: float) -> list:

@@ -114,8 +114,13 @@ def broadcast_scalar(value: float, root: int = 0) -> float:
         return value
     from jax.experimental import multihost_utils
 
-    arr = np.asarray([value if jax.process_index() == root else 0.0], np.float64)
-    return float(multihost_utils.broadcast_one_to_all(arr)[0])
+    if root == 0:
+        arr = np.asarray([value], np.float64)
+        return float(multihost_utils.broadcast_one_to_all(arr)[0])
+    # broadcast_one_to_all always sources process 0, so non-zero roots go
+    # through an allgather and every host indexes the root's row
+    votes = multihost_utils.process_allgather(np.asarray([value], np.float64))
+    return float(np.asarray(votes).reshape(jax.process_count(), -1)[root, 0])
 
 
 def sync_hosts(tag: str = "barrier"):
