@@ -609,6 +609,16 @@ class AYHead(nn.Module):
             om = spatial_offset(feat)
             offset = om[..., :offset_dim]
             mask = nn.sigmoid(om[..., offset_dim:])
+            # DCN offset-bound diagnostic: the bounded Pallas kernels clip
+            # |offset| at DyDCNv2.radius, so a model whose learned offsets
+            # grow past the radius changes semantics. Sown into the
+            # "diagnostics" collection (no-op unless the caller passes
+            # mutable=["diagnostics"]); the train step surfaces it as the
+            # dcn_offset_max metric and the trainer warns near the bound.
+            self.sow("diagnostics", "dcn_offset_max",
+                     jnp.max(jnp.abs(offset)).astype(jnp.float32),
+                     init_fn=lambda: jnp.float32(0.0),
+                     reduce_fn=jnp.maximum)
             reg_aligned = dcn(reg_feat, offset, mask, train)
             reg_enh = coord_att(reg_aligned, train)
 

@@ -83,14 +83,19 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
             kwargs["dn"] = dn_fn(batch, dn_rng)
         feats, mutated = graph.apply(
             {"params": params, "batch_stats": batch_stats},
-            img, train=True, rngs={"dropout": rng}, mutable=["batch_stats"], **kwargs,
+            img, train=True, rngs={"dropout": rng},
+            mutable=["batch_stats", "diagnostics"], **kwargs,
         )
         extras = tuple(batch[k] for k in extra_loss_keys)
         out = loss_fn(feats, batch["cls"], batch["bboxes"], batch["mask"], *extras)
-        return out.total, (out.components, mutated.get("batch_stats", batch_stats))
+        diag_leaves = jax.tree.leaves(mutated.get("diagnostics", {}))
+        off_max = (jnp.max(jnp.stack(diag_leaves)) if diag_leaves
+                   else jnp.float32(0.0))
+        return out.total, (out.components,
+                           mutated.get("batch_stats", batch_stats), off_max)
 
     def train_step(state: TrainState, batch, rng):
-        (total, (components, new_stats)), grads = jax.value_and_grad(
+        (total, (components, new_stats, off_max)), grads = jax.value_and_grad(
             loss_and_updates, has_aux=True
         )(state.params, state.batch_stats, batch, rng)
 
@@ -120,7 +125,7 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
         )
         metrics = {"loss": total, "components": components,
                    "box_loss": components[0], "cls_loss": components[-2],
-                   "dfl_loss": components[-1]}
+                   "dfl_loss": components[-1], "dcn_offset_max": off_max}
         return new_state, metrics
 
     return train_step

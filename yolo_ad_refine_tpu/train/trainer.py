@@ -364,9 +364,23 @@ class DetectionTrainer:
                     )
                     self.state, metrics = self.train_step(self.state, device_batch, step_rng)
                     epoch_metrics.append(
-                        (metrics["box_loss"], metrics["cls_loss"], metrics["dfl_loss"])
+                        (metrics["box_loss"], metrics["cls_loss"], metrics["dfl_loss"],
+                         metrics.get("dcn_offset_max", 0.0))
                     )
-            mloss = np.asarray(jax.device_get(epoch_metrics)).mean(axis=0)
+            fetched = np.asarray(jax.device_get(epoch_metrics))
+            mloss = fetched[:, :3].mean(axis=0)
+            # DCN offset-bound guard (DyDCNv2.radius): the bounded kernels
+            # clip |offset| at the radius; approaching it means train-time
+            # sampling is being clipped and a larger radius (or the exact
+            # gather) should be considered.
+            self.dcn_offset_max = float(fetched[:, 3].max())
+            dcn_radius = 3.0
+            if self.dcn_offset_max > 0.9 * dcn_radius:
+                LOGGER.warning(
+                    f"max |DCN offset| = {self.dcn_offset_max:.2f} is near/over the "
+                    f"Pallas kernel bound (radius {dcn_radius:g}); sampling is "
+                    f"clipped beyond it — consider raising DyDCNv2.radius"
+                )
 
             # EMA validation (reference trainer.py:594-604)
             results = {}
@@ -423,11 +437,12 @@ class DetectionTrainer:
         keys = ["epoch", "time", "train/box_loss", "train/cls_loss", "train/dfl_loss",
                 "metrics/precision(B)", "metrics/recall(B)", "metrics/mAP50(B)",
                 "metrics/mAP50-95(B)", "val/box_loss", "val/cls_loss", "val/dfl_loss",
-                "lr/pg0", "lr/pg1", "lr/pg2"]
+                "lr/pg0", "lr/pg1", "lr/pg2", "train/dcn_offset_max"]
         step = int(self.state.step)
         lrs = [float(self.lr_fns[k](step)) for k in ("pg0", "pg1", "pg2")]
         vals = [epoch, elapsed, *[float(x) for x in mloss],
-                *[results.get(k, 0.0) for k in keys[5:12]], *lrs]
+                *[results.get(k, 0.0) for k in keys[5:12]], *lrs,
+                float(getattr(self, "dcn_offset_max", 0.0))]
         header = not self.csv.exists()
         with open(self.csv, "a") as f:
             if header:
