@@ -80,6 +80,10 @@ def main():
         "pallas": lambda x, o, m, w: modulated_deform_conv2d_pallas(
             x, o, m, w, 3),
         "mxu": lambda x, o, m, w: modulated_deform_conv2d_mxu(x, o, m, w, 3),
+        "mxu16": lambda x, o, m, w: modulated_deform_conv2d_mxu(
+            x.astype(jnp.bfloat16), o, m, w, 3).astype(jnp.float32),
+        "exact16": lambda x, o, m, w: modulated_deform_conv2d(
+            x.astype(jnp.bfloat16), o, m, w).astype(jnp.float32),
     }
 
     for lv in args.levels.split(","):

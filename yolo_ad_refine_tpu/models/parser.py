@@ -310,6 +310,21 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
             c2 = ch_list[f]  # attention-zoo gates (reference attention.py)
             module = getattr(AT, name)(dtype=dtype) if name != "SimAM" \
                 else AT.SimAM()
+        elif name in ("SpatialGroupEnhance", "EffectiveSEModule", "ELA",
+                      "CAA", "MPCA", "AFGCAttention", "BAMBlock", "LSKBlockSA",
+                      "LSKA", "SegNext_Attention", "CPCA", "deformable_LKA",
+                      "DAttention", "FocusedLinearAttention",
+                      "CascadedGroupAttention", "LocalWindowAttention",
+                      "DualDomainSelectionMechanism", "EfficientAttention",
+                      "BiLevelRoutingAttention",
+                      "BiLevelRoutingAttention_nchw"):
+            from yolo_ad_refine_tpu.nn import attention_zoo  # noqa: F401
+            from yolo_ad_refine_tpu.nn.registry import MODULE_REGISTRY
+
+            # channel-preserving gates, long tail of reference attention.py;
+            # the torch ctor's channel arg is inferred from the input edge
+            c2 = ch_list[f]
+            module = MODULE_REGISTRY[name](dtype=dtype)
         elif name == "ELA_HSFPN":
             c2 = ch_list[f]
             flag = args[0] if args else True

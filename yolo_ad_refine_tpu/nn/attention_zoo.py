@@ -1,0 +1,959 @@
+"""Attention zoo, part 2 — the long tail of reference nn/modules/attention.py.
+
+Completes the module surface beyond nn/attention.py's live set: every
+remaining top-level attention block the reference ships (parity surface:
+reference attention.py — line refs on each class). All modules are NHWC
+flax, channel-preserving, and registered for yaml rows; where torch relies
+on gather-based sampling (deformable LKA, DAttention) we reuse the repo's
+XLA bilinear sampler (ops/deform.py) rather than translating grid_sample.
+
+None of these are on the reference's active flagship path (verified by grep
+over z-yaml in round 2) — they are shipped module surface, so the tests
+assert shape/finiteness/gating behavior rather than cross-stack numerics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolo_ad_refine_tpu.nn.common import Conv, autopad
+from yolo_ad_refine_tpu.nn.registry import register
+from yolo_ad_refine_tpu.ops.deform import _bilinear_sample
+
+Dtype = Any
+
+
+def _dwconv(c, kh, kw, name, *, dilation=1, pad=None, use_bias=True,
+            dtype=jnp.float32):
+    """Depthwise conv with torch-style explicit padding."""
+    if pad is None:
+        pad = (autopad(kh, None, dilation), autopad(kw, None, dilation))
+    elif isinstance(pad, int):
+        pad = (pad, pad)
+    return nn.Conv(c, (kh, kw), padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+                   feature_group_count=c, kernel_dilation=(dilation, dilation),
+                   use_bias=use_bias, dtype=dtype, name=name)
+
+
+# ---------------------------------------------------------------------------
+# channel / coordinate gates
+# ---------------------------------------------------------------------------
+
+
+@register
+class SpatialGroupEnhance(nn.Module):
+    """Group-wise spatial gating (reference attention.py:80-120)."""
+
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.groups
+        weight = self.param("weight", nn.initializers.zeros, (1, 1, 1, g))
+        bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, g))
+        xg = x.reshape(b, h, w, g, c // g)
+        xn = (xg * xg.mean(axis=(1, 2), keepdims=True)).sum(-1)  # (b,h,w,g)
+        t = xn.reshape(b, h * w, g)
+        t = t - t.mean(axis=1, keepdims=True)
+        std = t.std(axis=1, keepdims=True)
+        t = (t / (std + 1e-5)).reshape(b, h, w, g)
+        t = t * weight + bias
+        return (xg * jax.nn.sigmoid(t)[..., None]).reshape(b, h, w, c)
+
+
+@register
+class EffectiveSEModule(nn.Module):
+    """eSE: single-fc channel gate with hardsigmoid (attention.py:1052-1065)."""
+
+    add_maxpool: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        se = x.mean(axis=(1, 2), keepdims=True)
+        if self.add_maxpool:
+            se = 0.5 * se + 0.5 * x.max(axis=(1, 2), keepdims=True)
+        se = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="fc")(se)
+        return x * jax.nn.hard_sigmoid(se)
+
+
+@register
+class ELA(nn.Module):
+    """Efficient Local Attention: per-axis 1D conv gates (attention.py:1747)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        conv = nn.Conv(c, (7,), padding=[(3, 3)], feature_group_count=1,
+                       use_bias=True, dtype=self.dtype, name="conv1x1")
+        gn = nn.GroupNorm(num_groups=min(16, c), epsilon=1e-5,
+                          dtype=self.dtype, name="gn")
+        xh = x.mean(axis=2)                       # (b, h, c)
+        xw = x.mean(axis=1)                       # (b, w, c)
+        # shared 1D conv + GN + sigmoid on both pooled axes (weight sharing
+        # mirrors the reference's single conv1x1 Sequential)
+        ah = jax.nn.sigmoid(gn(conv(xh)))[:, :, None, :]
+        aw = jax.nn.sigmoid(gn(conv(xw)))[:, None, :, :]
+        return x * ah * aw
+
+
+@register
+class CAA(nn.Module):
+    """Context Anchor Attention, PKINet CVPR2024 (attention.py:1765-1778)."""
+
+    h_kernel_size: int = 11
+    v_kernel_size: int = 11
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        a = nn.avg_pool(x, (7, 7), strides=(1, 1), padding=[(3, 3), (3, 3)])
+        a = Conv(c, 1, dtype=self.dtype, name="conv1")(a, train)
+        a = _dwconv(c, 1, self.h_kernel_size, "h_conv", dtype=self.dtype)(a)
+        a = _dwconv(c, self.v_kernel_size, 1, "v_conv", dtype=self.dtype)(a)
+        a = Conv(c, 1, dtype=self.dtype, name="conv2")(a, train)
+        return jax.nn.sigmoid(a) * x
+
+
+@register
+class MPCA(nn.Module):
+    """MultiPath Coordinate Attention (attention.py:985-1009)."""
+
+    dtype: Dtype = jnp.float32
+
+    def _cbs(self, c, kh, kw, name):
+        """Conv+BN+SiLU with a rectangular kernel (reference Conv)."""
+
+        class _C(nn.Module):
+            dtype: Dtype = self.dtype
+
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                x = nn.Conv(c, (kh, kw),
+                            padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
+                            use_bias=False, dtype=self.dtype, name="conv")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                                 epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+                return nn.silu(x)
+
+        return _C(name=name)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        pool_h = x.mean(axis=2)[:, :, None, :]            # (b, h, 1, c)
+        pool_w = x.mean(axis=1)[:, :, None, :]            # (b, w, 1, c)
+        gap = x.mean(axis=(1, 2), keepdims=True)
+        gap = self._cbs(c, 1, 1, "gap_conv")(gap, train)
+        hw = jnp.concatenate([pool_h, pool_w], axis=1)    # (b, h+w, 1, c)
+        hw = self._cbs(c, 3, 1, "conv_hw")(hw, train)
+        ph, pw = hw[:, :h], hw[:, h:]
+        weight = jax.nn.sigmoid(
+            self._cbs(c, 1, 1, "conv_pool_hw")(hw, train))
+        wh, ww = weight[:, :h], weight[:, h:]
+        ph, pw = ph * wh, pw * ww
+        gap = gap * weight.mean(axis=1, keepdims=True)
+        return (x * jax.nn.sigmoid(ph)                     # (b,h,1,c) bcast
+                * jax.nn.sigmoid(pw).transpose(0, 2, 1, 3)  # (b,1,w,c)
+                * jax.nn.sigmoid(gap))
+
+
+@register
+class AFGCAttention(nn.Module):
+    """Adaptive Fine-Grained Channel Attention (attention.py:1793-1823)."""
+
+    b: int = 1
+    gamma: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        t = int(abs((math.log(c, 2) + self.b) / self.gamma))
+        k = t if t % 2 else t + 1
+        conv1 = nn.Conv(1, (k,), padding=[(k // 2, k // 2)], use_bias=False,
+                        dtype=self.dtype, name="conv1")
+        pooled = x.mean(axis=(1, 2))                      # (B, C)
+        x1 = conv1(pooled[..., None]).squeeze(-1)         # ECA branch (B, C)
+        x2 = nn.Dense(c, dtype=self.dtype, name="fc")(pooled)  # (B, C)
+        # out1 = sigmoid(sum_i x1_i) * x2 ; out2 = sigmoid(sum_i x2_i) * x1
+        # (the reference's rank-1 matmul + dim-1 sum reduces to this)
+        out1 = jax.nn.sigmoid(x1.sum(-1, keepdims=True) * x2)
+        out2 = jax.nn.sigmoid(x2.sum(-1, keepdims=True) * x1)
+        m = self.param("mix_w", nn.initializers.constant(-0.80), (1,))
+        mixf = jax.nn.sigmoid(m)
+        out = out1 * mixf + out2 * (1.0 - mixf)
+        out = jax.nn.sigmoid(conv1(out[..., None]).squeeze(-1))
+        return x * out[:, None, None, :]
+
+
+# ---------------------------------------------------------------------------
+# BAM
+# ---------------------------------------------------------------------------
+
+
+class _BAMChannel(nn.Module):
+    reduction: int = 16
+    num_layers: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        v = x.mean(axis=(1, 2))
+        for i in range(self.num_layers - 1):
+            v = nn.Dense(c // self.reduction, dtype=self.dtype,
+                         name=f"fc{i}")(v)
+            v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name=f"bn{i}")(v)
+            v = nn.relu(v)
+        v = nn.Dense(c, dtype=self.dtype, name="last_fc")(v)
+        return v[:, None, None, :]
+
+
+class _BAMSpatial(nn.Module):
+    reduction: int = 16
+    num_layers: int = 3
+    dia_val: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        cr = c // self.reduction
+        v = nn.Conv(cr, (1, 1), dtype=self.dtype, name="conv_reduce1")(x)
+        v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn_reduce1")(v)
+        v = nn.relu(v)
+        p = autopad(3, None, self.dia_val)
+        for i in range(self.num_layers):
+            v = nn.Conv(cr, (3, 3), padding=[(p, p), (p, p)],
+                        kernel_dilation=(self.dia_val, self.dia_val),
+                        dtype=self.dtype, name=f"conv_{i}")(v)
+            v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name=f"bn_{i}")(v)
+            v = nn.relu(v)
+        return nn.Conv(1, (1, 1), dtype=self.dtype, name="last_conv")(v)
+
+
+@register
+class BAMBlock(nn.Module):
+    """Bottleneck Attention Module (attention.py:733-760)."""
+
+    reduction: int = 16
+    dia_val: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        sa = _BAMSpatial(self.reduction, dia_val=self.dia_val,
+                         dtype=self.dtype, name="sa")(x, train)
+        ca = _BAMChannel(self.reduction, dtype=self.dtype, name="ca")(x, train)
+        weight = jax.nn.sigmoid(sa + ca)
+        return (1.0 + weight) * x
+
+
+# ---------------------------------------------------------------------------
+# large-kernel spatial gates
+# ---------------------------------------------------------------------------
+
+
+@register
+class LSKBlockSA(nn.Module):
+    """LSK spatial gating unit standalone (attention.py:852-876)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        a1 = _dwconv(c, 5, 5, "conv0", dtype=self.dtype)(x)
+        a2 = _dwconv(c, 7, 7, "conv_spatial", dilation=3, pad=9,
+                     dtype=self.dtype)(a1)
+        a1 = nn.Conv(c // 2, (1, 1), dtype=self.dtype, name="conv1")(a1)
+        a2 = nn.Conv(c // 2, (1, 1), dtype=self.dtype, name="conv2")(a2)
+        attn = jnp.concatenate([a1, a2], -1)
+        agg = jnp.concatenate([attn.mean(-1, keepdims=True),
+                               attn.max(-1, keepdims=True)], -1)
+        sig = jax.nn.sigmoid(nn.Conv(2, (7, 7), padding=[(3, 3), (3, 3)],
+                                     dtype=self.dtype, name="conv_squeeze")(agg))
+        attn = a1 * sig[..., 0:1] + a2 * sig[..., 1:2]
+        attn = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv")(attn)
+        return x * attn
+
+
+@register
+class LSKA(nn.Module):
+    """Large-Separable-Kernel-Attention (attention.py:1067-1115)."""
+
+    k_size: int = 7
+    dtype: Dtype = jnp.float32
+
+    # (k0, k_sp, dilation, pad_sp) per k_size — the reference's if-ladder
+    _CFG = {7: (3, 3, 2, 2), 11: (3, 5, 2, 4), 23: (5, 7, 3, 9),
+            35: (5, 11, 3, 15), 41: (5, 13, 3, 18), 53: (5, 17, 3, 24)}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        k0, ksp, dil, psp = self._CFG[self.k_size]
+        a = _dwconv(c, 1, k0, "conv0h", pad=(0, k0 // 2), dtype=self.dtype)(x)
+        a = _dwconv(c, k0, 1, "conv0v", pad=(k0 // 2, 0), dtype=self.dtype)(a)
+        a = _dwconv(c, 1, ksp, "conv_spatial_h", dilation=dil, pad=(0, psp),
+                    dtype=self.dtype)(a)
+        a = _dwconv(c, ksp, 1, "conv_spatial_v", dilation=dil, pad=(psp, 0),
+                    dtype=self.dtype)(a)
+        a = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv1")(a)
+        return x * a
+
+
+@register(name="SegNext_Attention")
+class SegNextAttention(nn.Module):
+    """Multi-scale strip conv attention, SegNeXt (attention.py:1117-1149)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        attn = _dwconv(c, 5, 5, "conv0", dtype=self.dtype)(x)
+        outs = [attn]
+        for i, k in enumerate((7, 11, 21)):
+            a = _dwconv(c, 1, k, f"conv{i}_1", pad=(0, k // 2),
+                        dtype=self.dtype)(attn)
+            a = _dwconv(c, k, 1, f"conv{i}_2", pad=(k // 2, 0),
+                        dtype=self.dtype)(a)
+            outs.append(a)
+        attn = sum(outs)
+        attn = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv3")(attn)
+        return attn * x
+
+
+@register
+class CPCA(nn.Module):
+    """Channel-Prior Convolutional Attention (attention.py:927-983)."""
+
+    reduce: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        # the reference reuses ONE 1x1 conv instance three times — keep the
+        # shared-weight quirk for faithfulness
+        conv_shared = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv")
+        fc1 = nn.Conv(max(1, c // self.reduce), (1, 1), dtype=self.dtype,
+                      name="ca_fc1")
+        fc2 = nn.Conv(c, (1, 1), dtype=self.dtype, name="ca_fc2")
+
+        x = jax.nn.gelu(conv_shared(x), approximate=False)
+        ca = (jax.nn.sigmoid(fc2(nn.relu(fc1(x.mean((1, 2), keepdims=True)))))
+              + jax.nn.sigmoid(fc2(nn.relu(fc1(x.max((1, 2), keepdims=True))))))
+        x = x * ca
+
+        x0 = _dwconv(c, 5, 5, "dconv5_5", dtype=self.dtype)(x)
+        outs = [x0]
+        for i, k in enumerate((7, 11, 21)):
+            a = _dwconv(c, 1, k, f"dconv1_{k}", pad=(0, k // 2),
+                        dtype=self.dtype)(x0)
+            a = _dwconv(c, k, 1, f"dconv{k}_1", pad=(k // 2, 0),
+                        dtype=self.dtype)(a)
+            outs.append(a)
+        spatial = conv_shared(sum(outs))
+        return conv_shared(spatial * x)
+
+
+# ---------------------------------------------------------------------------
+# deformable large-kernel attention
+# ---------------------------------------------------------------------------
+
+
+def _deform_conv_depthwise(x, offset, weight, k, dilation, padding):
+    """torchvision.ops.DeformConv2d with groups == channels, bias=False.
+
+    x (B,H,W,C), offset (B,H,W,2*k*k) (dy,dx) per tap, weight (k,k,C).
+    Output coord for tap (i,j): in = out - padding + i*dilation + offset.
+    """
+    b, h, w, c = x.shape
+    kk = k * k
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    base_y = jnp.broadcast_to(gy, (h, w)).reshape(1, h * w, 1)
+    base_x = jnp.broadcast_to(gx, (h, w)).reshape(1, h * w, 1)
+    tap_dy = jnp.asarray([(t // k) * dilation - padding for t in range(kk)],
+                         jnp.float32)[None, None, :]
+    tap_dx = jnp.asarray([(t % k) * dilation - padding for t in range(kk)],
+                         jnp.float32)[None, None, :]
+    off = offset.astype(jnp.float32).reshape(b, h * w, kk, 2)
+    cy = (base_y + tap_dy + off[..., 0]).reshape(b, h * w * kk)
+    cx = (base_x + tap_dx + off[..., 1]).reshape(b, h * w * kk)
+    sampled = _bilinear_sample(x.reshape(b, h * w, c), cy, cx, h, w)
+    sampled = sampled.reshape(b, h * w, kk, c)
+    out = jnp.einsum("bnkc,kc->bnc", sampled, weight.reshape(kk, c))
+    return out.reshape(b, h, w, c)
+
+
+class _DeformConvDW(nn.Module):
+    """offset conv + depthwise deformable conv (attention.py:1011-1036)."""
+
+    k: int = 3
+    padding: int = 1
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        kk = self.k * self.k
+        p = self.padding
+        off = nn.Conv(2 * kk, (self.k, self.k), padding=[(p, p), (p, p)],
+                      kernel_dilation=(self.dilation, self.dilation),
+                      use_bias=True, dtype=self.dtype, name="offset_net")(x)
+        weight = self.param(
+            "weight", nn.initializers.variance_scaling(1 / 3, "fan_in",
+                                                       "uniform"),
+            (self.k, self.k, c), jnp.float32)
+        return _deform_conv_depthwise(x, off, weight, self.k, self.dilation,
+                                      self.padding)
+
+
+@register(name="deformable_LKA")
+class DeformableLKA(nn.Module):
+    """Deformable Large-Kernel Attention (attention.py:1038-1050)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        a = _DeformConvDW(k=5, padding=2, dtype=self.dtype, name="conv0")(x, train)
+        a = _DeformConvDW(k=7, padding=9, dilation=3, dtype=self.dtype,
+                          name="conv_spatial")(a, train)
+        a = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv1")(a)
+        return x * a
+
+
+# ---------------------------------------------------------------------------
+# DAttention (Vision Transformer with Deformable Attention, CVPR2022)
+# ---------------------------------------------------------------------------
+
+
+@register
+class DAttention(nn.Module):
+    """Deformable attention (attention.py:1161-1364). All four positional
+    encoding modes of the reference are implemented (dwc/fixed/log_cpb/grid);
+    dwc_pe is the reference default."""
+
+    n_heads: int = 8
+    n_groups: int = 4
+    stride: int = 1
+    offset_range_factor: int = 4
+    use_pe: bool = True
+    dwc_pe: bool = True
+    no_off: bool = False
+    fixed_pe: bool = False
+    log_cpb: bool = False
+    ksize: int = 3
+    q_size: tuple | None = None   # only needed for fixed_pe tables
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        nh, ng = self.n_heads, self.n_groups
+        hc = c // nh
+        gc = c // ng
+        scale = hc ** -0.5
+        kk, st = self.ksize, self.stride
+        pad = kk // 2 if kk != st else 0
+
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_q")(x)
+
+        # per-group offset field
+        q_off = q.reshape(b, h, w, ng, gc).transpose(0, 3, 1, 2, 4)
+        q_off = q_off.reshape(b * ng, h, w, gc)
+        o = nn.Conv(gc, (kk, kk), strides=(st, st),
+                    padding=[(pad, pad), (pad, pad)], feature_group_count=gc,
+                    dtype=self.dtype, name="conv_offset_dw")(q_off)
+        o = nn.LayerNorm(dtype=self.dtype, name="conv_offset_ln")(o)
+        o = jax.nn.gelu(o, approximate=False)
+        off = nn.Conv(2, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv_offset_out")(o)       # (b*g, Hk, Wk, 2) y,x
+        hk, wk = off.shape[1], off.shape[2]
+        n_sample = hk * wk
+
+        if self.offset_range_factor >= 0 and not self.no_off:
+            rng_f = jnp.asarray([1.0 / max(hk - 1, 1), 1.0 / max(wk - 1, 1)],
+                                jnp.float32)
+            off = jnp.tanh(off) * rng_f * self.offset_range_factor
+
+        # reference grid: linspace(0.5, S-0.5) normalized to [-1, 1]
+        ref_y = (jnp.linspace(0.5, hk - 0.5, hk) / max(hk - 1.0, 1.0)) * 2 - 1
+        ref_x = (jnp.linspace(0.5, wk - 0.5, wk) / max(wk - 1.0, 1.0)) * 2 - 1
+        ref = jnp.stack(jnp.meshgrid(ref_y, ref_x, indexing="ij"), -1)  # (Hk,Wk,2)
+        if self.no_off:
+            pos = jnp.broadcast_to(ref, (b * ng, hk, wk, 2))
+            xs = nn.avg_pool(x, (st, st), strides=(st, st))
+            x_sampled = xs.reshape(b, hk * wk, c)
+        else:
+            pos = off + ref[None]
+            if self.offset_range_factor < 0:
+                pos = jnp.clip(pos, -1.0, 1.0)
+            # bilinear sample per group, align_corners=True convention
+            xg = x.reshape(b, h, w, ng, gc).transpose(0, 3, 1, 2, 4)
+            xg = xg.reshape(b * ng, h * w, gc)
+            cy = (pos[..., 0].reshape(b * ng, n_sample) + 1) / 2 * (h - 1)
+            cx = (pos[..., 1].reshape(b * ng, n_sample) + 1) / 2 * (w - 1)
+            smp = _bilinear_sample(xg, cy, cx, h, w)   # (b*g, Ns, gc)
+            x_sampled = smp.reshape(b, ng, n_sample, gc).transpose(0, 2, 1, 3)
+            x_sampled = x_sampled.reshape(b, n_sample, c)
+
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_k")(
+            x_sampled[:, None]).squeeze(1)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_v")(
+            x_sampled[:, None]).squeeze(1)
+
+        qf = q.reshape(b, h * w, nh, hc).transpose(0, 2, 1, 3)   # (b,nh,HW,hc)
+        kf = k.reshape(b, n_sample, nh, hc).transpose(0, 2, 1, 3)
+        vf = v.reshape(b, n_sample, nh, hc).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhnc,bhmc->bhnm", qf, kf) * scale
+
+        residual_lepe = None
+        if self.use_pe and not self.no_off:
+            if self.dwc_pe:
+                residual_lepe = _dwconv(c, 3, 3, "rpe_dw",
+                                        dtype=self.dtype)(q)
+            elif self.fixed_pe:
+                assert self.q_size is not None, "fixed_pe needs q_size"
+                table = self.param("rpe_table",
+                                   nn.initializers.normal(0.01),
+                                   (nh, h * w, n_sample))
+                attn = attn + table[None]
+            elif self.log_cpb:
+                qg = self._grid(h, w)                    # (H*W, 2) in [-1,1]
+                disp = (qg[None, :, None, :]
+                        - pos.reshape(b * ng, n_sample, 2)[:, None, :, :]) * 4.0
+                disp = jnp.sign(disp) * jnp.log2(jnp.abs(disp) + 1.0) / math.log2(8.0)
+                bias = nn.Dense(32, dtype=self.dtype, name="cpb_fc1")(disp)
+                bias = nn.relu(bias)
+                bias = nn.Dense(nh // ng, use_bias=False, dtype=self.dtype,
+                                name="cpb_fc2")(bias)   # (b*g, HW, Ns, hg)
+                bias = bias.reshape(b, ng, h * w, n_sample, nh // ng)
+                bias = bias.transpose(0, 1, 4, 2, 3).reshape(b, nh, h * w,
+                                                             n_sample)
+                attn = attn + bias
+            else:
+                # grid-sampled relative table (Swin-style)
+                table = self.param("rpe_table", nn.initializers.normal(0.01),
+                                   (nh, h * 2 - 1, w * 2 - 1))
+                qg = self._grid(h, w)
+                disp = (qg[None, :, None, :]
+                        - pos.reshape(b * ng, n_sample, 2)[:, None, :, :]) * 0.5
+                hg = nh // ng
+                tb = jnp.broadcast_to(table[None], (b, nh, h * 2 - 1, w * 2 - 1))
+                tb = tb.reshape(b * ng, hg, h * 2 - 1, w * 2 - 1)
+                tb = tb.transpose(0, 2, 3, 1).reshape(
+                    b * ng, (h * 2 - 1) * (w * 2 - 1), hg)
+                cy = (disp[..., 0].reshape(b * ng, -1) + 1) / 2 * (h * 2 - 2)
+                cx = (disp[..., 1].reshape(b * ng, -1) + 1) / 2 * (w * 2 - 2)
+                bias = _bilinear_sample(tb, cy, cx, h * 2 - 1, w * 2 - 1)
+                bias = bias.reshape(b, ng, h * w, n_sample, hg)
+                bias = bias.transpose(0, 1, 4, 2, 3).reshape(b, nh, h * w,
+                                                             n_sample)
+                attn = attn + bias
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmc->bhnc", attn, vf)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        if residual_lepe is not None:
+            out = out + residual_lepe
+        return nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+
+    @staticmethod
+    def _grid(h, w):
+        gy = jnp.arange(h, dtype=jnp.float32) / max(h - 1, 1) * 2 - 1
+        gx = jnp.arange(w, dtype=jnp.float32) / max(w - 1, 1) * 2 - 1
+        return jnp.stack(jnp.meshgrid(gy, gx, indexing="ij"), -1).reshape(-1, 2)
+
+
+# ---------------------------------------------------------------------------
+# focused linear attention (window)
+# ---------------------------------------------------------------------------
+
+
+@register
+class FocusedLinearAttention(nn.Module):
+    """Window linear attention with focusing (attention.py:1385-1482).
+    Windows of `split_size`, auto-padded (reference uses windows equal to its
+    fixed `resolution`; with split_size == the input size the two match)."""
+
+    split_size: int = 8
+    num_heads: int = 8
+    focusing_factor: int = 3
+    kernel_size: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        ws = self.split_size
+        nh = self.num_heads
+        hd = c // nh
+        qkv = nn.Conv(3 * c, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv_qkv")(x)
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        if pad_b or pad_r:
+            qkv = jnp.pad(qkv, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        ph, pw = h + pad_b, w + pad_r
+        nwh, nww = ph // ws, pw // ws
+        # windows: (b*nw, ws*ws, 3c)
+        t = qkv.reshape(b, nwh, ws, nww, ws, 3 * c).transpose(0, 1, 3, 2, 4, 5)
+        t = t.reshape(b * nwh * nww, ws * ws, 3 * c)
+        q, k, v = jnp.split(t, 3, axis=-1)
+
+        pe = self.param("positional_encoding", nn.initializers.zeros,
+                        (1, ws * ws, c))
+        k = k + pe
+        scale_p = self.param("scale", nn.initializers.zeros, (1, 1, c))
+        scale = jax.nn.softplus(scale_p)
+        q = nn.relu(q) + 1e-6
+        k = nn.relu(k) + 1e-6
+        q = q / scale
+        k = k / scale
+        qn = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        kn = jnp.linalg.norm(k, axis=-1, keepdims=True)
+        q = q ** self.focusing_factor
+        k = k ** self.focusing_factor
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12) * qn
+        k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-12) * kn
+        bn = q.shape[0]
+        q = q.reshape(bn, -1, nh, hd).transpose(0, 2, 1, 3).reshape(bn * nh, -1, hd)
+        k = k.reshape(bn, -1, nh, hd).transpose(0, 2, 1, 3).reshape(bn * nh, -1, hd)
+        vh = v.reshape(bn, -1, nh, hd).transpose(0, 2, 1, 3).reshape(bn * nh, -1, hd)
+
+        z = 1.0 / (jnp.einsum("bic,bc->bi", q, k.sum(1)) + 1e-6)
+        kv = jnp.einsum("bjc,bjd->bcd", k, vh)
+        out = jnp.einsum("bic,bcd,bi->bid", q, kv, z)
+
+        # dwc feature map on v + lepe dw conv on v windows
+        vmap = vh.reshape(bn * nh, ws, ws, hd)
+        fmap = _dwconv(hd, self.kernel_size, self.kernel_size, "dwc",
+                       dtype=self.dtype)(vmap).reshape(bn * nh, ws * ws, hd)
+        vwin = v.reshape(bn, ws, ws, c)
+        lepe = _dwconv(c, 3, 3, "get_v", dtype=self.dtype)(vwin)
+        lepe = lepe.reshape(bn, ws * ws, nh, hd).transpose(0, 2, 1, 3)
+        lepe = lepe.reshape(bn * nh, ws * ws, hd)
+        out = out + fmap + lepe
+        out = out.reshape(bn, nh, ws * ws, hd).transpose(0, 2, 1, 3)
+        out = out.reshape(b, nwh, nww, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, ph, pw, c)[:, :h, :w]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# EfficientViT cascaded group attention
+# ---------------------------------------------------------------------------
+
+
+class _Conv2dBN(nn.Module):
+    c2: int
+    k: int = 1
+    g: int = 1
+    bn_weight_init: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.k // 2
+        x = nn.Conv(self.c2, (self.k, self.k), padding=[(p, p), (p, p)],
+                    feature_group_count=self.g, use_bias=False,
+                    dtype=self.dtype, name="c")(x)
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            scale_init=nn.initializers.constant(self.bn_weight_init),
+            dtype=self.dtype, name="bn")(x)
+
+
+@register
+class CascadedGroupAttention(nn.Module):
+    """EfficientViT cascaded group attention (attention.py:1604-1680).
+    Requires H == W == resolution (enforced by LocalWindowAttention)."""
+
+    key_dim: int = 16
+    num_heads: int = 4
+    attn_ratio: int = 4
+    resolution: int = 7
+    kernels: Sequence[int] = (5, 5, 5, 5)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import itertools
+
+        b, h, w, c = x.shape
+        nhd = self.num_heads
+        kd = self.key_dim
+        d = c // nhd
+        scale = kd ** -0.5
+        res = self.resolution
+        assert h == res and w == res, (h, w, res)
+
+        points = list(itertools.product(range(res), range(res)))
+        offs, idxs = {}, []
+        for p1 in points:
+            for p2 in points:
+                o = (abs(p1[0] - p2[0]), abs(p1[1] - p2[1]))
+                if o not in offs:
+                    offs[o] = len(offs)
+                idxs.append(offs[o])
+        biases = self.param("attention_biases", nn.initializers.zeros,
+                            (nhd, len(offs)))
+        import numpy as np
+
+        idx = np.asarray(idxs, np.int32).reshape(len(points), len(points))
+        ab = biases[:, idx]                                # (nh, N, N)
+
+        feats_in = jnp.split(x, nhd, axis=-1)
+        feats_out = []
+        feat = feats_in[0]
+        n = h * w
+        for i in range(nhd):
+            if i > 0:
+                feat = feat + feats_in[i]
+            f = _Conv2dBN(kd * 2 + d, dtype=self.dtype,
+                          name=f"qkv{i}")(feat, train)
+            q, k, v = jnp.split(f, [kd, 2 * kd], axis=-1)
+            q = _Conv2dBN(kd, k=self.kernels[i], g=kd, dtype=self.dtype,
+                          name=f"dws{i}")(q, train)
+            qf = q.reshape(b, n, kd)
+            kf = k.reshape(b, n, kd)
+            vf = v.reshape(b, n, d)
+            attn = jnp.einsum("bnc,bmc->bnm", qf, kf) * scale + ab[i]
+            attn = jax.nn.softmax(attn, axis=-1)
+            feat = jnp.einsum("bnm,bmd->bnd", attn, vf).reshape(b, h, w, d)
+            feats_out.append(feat)
+        y = jnp.concatenate(feats_out, -1)
+        y = _Conv2dBN(c, bn_weight_init=0.0, dtype=self.dtype,
+                      name="proj")(nn.relu(y), train)
+        return y
+
+
+@register
+class LocalWindowAttention(nn.Module):
+    """EfficientViT local window attention (attention.py:1683-1745)."""
+
+    key_dim: int = 16
+    num_heads: int = 4
+    attn_ratio: int = 4
+    window_resolution: int = 7
+    kernels: Sequence[int] = (5, 5, 5, 5)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        wr = self.window_resolution
+        if h <= wr and w <= wr:
+            attn = CascadedGroupAttention(
+                self.key_dim, self.num_heads, self.attn_ratio, h,
+                self.kernels, dtype=self.dtype, name="attn")
+            return attn(x, train)
+        attn = CascadedGroupAttention(
+            self.key_dim, self.num_heads, self.attn_ratio, wr,
+            self.kernels, dtype=self.dtype, name="attn")
+        pad_b = (wr - h % wr) % wr
+        pad_r = (wr - w % wr) % wr
+        xp = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        ph, pw = h + pad_b, w + pad_r
+        nh_, nw_ = ph // wr, pw // wr
+        t = xp.reshape(b, nh_, wr, nw_, wr, c).transpose(0, 1, 3, 2, 4, 5)
+        t = t.reshape(b * nh_ * nw_, wr, wr, c)
+        t = attn(t, train)
+        t = t.reshape(b, nh_, nw_, wr, wr, c).transpose(0, 1, 3, 2, 4, 5)
+        return t.reshape(b, ph, pw, c)[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# dual-domain selection
+# ---------------------------------------------------------------------------
+
+
+@register
+class DualDomainSelectionMechanism(nn.Module):
+    """FocalNet DSM (attention.py:1825-1878)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        # spatial gate
+        comp = jnp.concatenate([x.max(-1, keepdims=True),
+                                x.mean(-1, keepdims=True)], -1)
+        sg = Conv(1, 3, act=False, dtype=self.dtype, name="spatial")(comp, train)
+        d1 = Conv(c, 5, d=2, g=c, act=jax.nn.gelu, dtype=self.dtype,
+                  name="dw1_0")(x, train)
+        d1 = Conv(c, 7, d=3, g=c, act=jax.nn.gelu, dtype=self.dtype,
+                  name="dw1_1")(d1, train)
+        d2 = Conv(c, 3, g=c, act=jax.nn.gelu, dtype=self.dtype, name="dw2")(x, train)
+        out = d1 * sg + d2
+        # local attention (pyramid=1 -> single p=0 layer)
+        a0 = self.param("la_a", nn.initializers.zeros, (1, 1, 1, c))
+        b0 = self.param("la_b", nn.initializers.ones, (1, 1, 1, c))
+        centered = out - out.mean(axis=(1, 2), keepdims=True)
+        out = a0 * centered * out + b0 * out
+        a1 = self.param("a", nn.initializers.zeros, (1, 1, 1, c))
+        b1 = self.param("b", nn.initializers.ones, (1, 1, 1, c))
+        return a1 * out + b1 * x
+
+
+# ---------------------------------------------------------------------------
+# efficient multi-frequency attention
+# ---------------------------------------------------------------------------
+
+
+@register
+class EfficientAttention(nn.Module):
+    """CloFormer-style high/low frequency attention (attention.py:773-850)."""
+
+    num_heads: int = 8
+    group_split: Sequence[int] = (4, 4)
+    kernel_sizes: Sequence[int] = (5,)
+    window_size: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        hd = c // self.num_heads
+        scale = hd ** -0.5
+        res = []
+        for i, ks in enumerate(self.kernel_sizes):
+            gh = self.group_split[i]
+            if gh == 0:
+                continue
+            cg = 3 * hd * gh
+            qkv = nn.Conv(cg, (1, 1), use_bias=True, dtype=self.dtype,
+                          name=f"qkv{i}")(x)
+            qkv = _dwconv(cg, ks, ks, f"mix{i}", dtype=self.dtype)(qkv)
+            q, k, v = jnp.split(qkv.reshape(b, h, w, 3, hd * gh), 3, axis=3)
+            q, k, v = q.squeeze(3), k.squeeze(3), v.squeeze(3)
+            a = q * k
+            a = nn.Conv(hd * gh, (1, 1), dtype=self.dtype,
+                        name=f"attn{i}_fc1")(a)
+            a = a * jax.nn.sigmoid(a)  # swish
+            a = nn.Conv(hd * gh, (1, 1), dtype=self.dtype,
+                        name=f"attn{i}_fc2")(a)
+            res.append(jnp.tanh(a * scale) * v)
+        g_last = self.group_split[-1]
+        if g_last:
+            cq = g_last * hd
+            q = nn.Conv(cq, (1, 1), dtype=self.dtype, name="global_q")(x)
+            ws_ = self.window_size
+            kvsrc = nn.avg_pool(x, (ws_, ws_), strides=(ws_, ws_)) \
+                if ws_ != 1 else x
+            kv = nn.Conv(2 * cq, (1, 1), dtype=self.dtype,
+                         name="global_kv")(kvsrc)
+            hw2 = kvsrc.shape[1] * kvsrc.shape[2]
+            k, v = jnp.split(kv.reshape(b, hw2, 2, g_last, hd), 2, axis=2)
+            k, v = k.squeeze(2), v.squeeze(2)           # (b, HW', m, hd)
+            qf = q.reshape(b, h * w, g_last, hd)
+            attn = jnp.einsum("bnmd,bkmd->bmnk", qf, k) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            o = jnp.einsum("bmnk,bkmd->bnmd", attn, v)
+            res.append(o.reshape(b, h, w, cq))
+        y = jnp.concatenate(res, -1)
+        return nn.Conv(c, (1, 1), dtype=self.dtype, name="proj")(y)
+
+
+# ---------------------------------------------------------------------------
+# bi-level routing attention (BiFormer)
+# ---------------------------------------------------------------------------
+
+
+@register(aliases=("BiLevelRoutingAttention_nchw",))
+class BiLevelRoutingAttention(nn.Module):
+    """BiFormer bi-level routing attention (attention.py:206-383).
+
+    Window-mean routing picks top-k windows per query window; attention runs
+    only over the gathered windows. The nchw variant differs in torch only
+    by layout, so it aliases here (we are NHWC throughout).
+    """
+
+    num_heads: int = 8
+    n_win: int = 7
+    topk: int = 4
+    side_dwconv: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h_in, w_in, c = x.shape
+        nwin = self.n_win
+        pad_b = (nwin - h_in % nwin) % nwin
+        pad_r = (nwin - w_in % nwin) % nwin
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        _, h, w, _ = x.shape
+        wh, ww = h // nwin, w // nwin
+        p2 = nwin * nwin
+        w2 = wh * ww
+        scale = c ** -0.5
+        topk = min(self.topk, p2)
+
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        q, kv = qkv[..., :c], qkv[..., c:]
+        # windows (b, p2, w2, ·)
+        def win(t):
+            d = t.shape[-1]
+            t = t.reshape(b, nwin, wh, nwin, ww, d).transpose(0, 1, 3, 2, 4, 5)
+            return t.reshape(b, p2, w2, d)
+
+        qw, kvw = win(q), win(kv)
+        kw_, vw_ = kvw[..., :c], kvw[..., c:]
+        q_win = qw.mean(axis=2)                       # (b, p2, c)
+        k_win = kw_.mean(axis=2)
+
+        # routing: top-k windows per query window (detached, like torch)
+        logit = jnp.einsum("bpc,bqc->bpq", jax.lax.stop_gradient(q_win),
+                           jax.lax.stop_gradient(k_win)) * scale
+        _, r_idx = jax.lax.top_k(logit, topk)          # (b, p2, topk)
+
+        # gather k/v of routed windows: (b, p2, topk*w2, c)
+        kv_flat = jnp.concatenate([kw_, vw_], -1)      # (b, p2, w2, 2c)
+        gat = jnp.take_along_axis(kv_flat[:, None],    # (b, 1, p2, w2, 2c)
+                                  r_idx[..., None, None], axis=2)
+        gat = gat.reshape(b, p2, topk * w2, 2 * c)
+        k_sel, v_sel = gat[..., :c], gat[..., c:]
+
+        nh = self.num_heads
+        hd = c // nh
+        qh = qw.reshape(b, p2, w2, nh, hd)
+        kh = k_sel.reshape(b, p2, topk * w2, nh, hd)
+        vh = v_sel.reshape(b, p2, topk * w2, nh, hd)
+        attn = jnp.einsum("bpnhd,bpmhd->bphnm", qh * scale, kh)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bphnm,bpmhd->bpnhd", attn, vh)
+        out = out.reshape(b, p2, w2, c)
+        # back to spatial
+        out = out.reshape(b, nwin, nwin, wh, ww, c).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, h, w, c)
+
+        # lepe on v (depthwise on full map)
+        v_full = kv[..., c:]
+        if self.side_dwconv > 0:
+            sd = self.side_dwconv
+            out = out + _dwconv(c, sd, sd, "lepe", dtype=self.dtype)(v_full)
+        out = nn.Dense(c, dtype=self.dtype, name="wo")(out)
+        return out[:, :h_in, :w_in]

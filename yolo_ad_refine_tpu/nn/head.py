@@ -466,22 +466,20 @@ class CrossTaskInteraction(nn.Module):
 class DyDCNv2(nn.Module):
     """Modulated deformable conv 3x3 + GroupNorm(16) (reference head.py:751-782).
 
-    The deformable sampling replaces mmcv.ops.ModulatedDeformConv2d. Two
-    implementations, both with bilinear/zero-pad mmcv semantics:
+    The deformable sampling replaces mmcv.ops.ModulatedDeformConv2d. Three
+    implementations, all with bilinear/zero-pad mmcv semantics:
 
-    - ops/deform_pallas.py: Pallas bounded-window kernel, exact for
-      |offset| <= radius (clipped beyond). Its custom VJP avoids XLA's
-      serialized gather-adjoint scatter: full flagship train step 334 ms
-      vs 5490 ms with the gather formulation (bs16/640, measured).
-    - ops/deform.py: exact unbounded XLA gather. Faster for INFERENCE
-      in-graph (67.6 vs 92.4 ms full fwd bs32 — the pallas call boundary
-      costs more than its kernel saves when there is no backward).
+    - ops/deform_mxu.py (auto on TPU, train AND eval): MXU-separable Pallas
+      kernel, exact for |offset| <= radius (clipped beyond). Fastest both
+      directions (flagship DCN 39 -> 13 ms fwd bs32; backward all-matmul).
+      Using ONE bounded kernel for train and eval keeps their sampling
+      semantics identical; the trainer's dcn_offset_max guard monitors the
+      clip bound.
+    - ops/deform_pallas.py: previous bounded-window VPU kernel (opt-in).
+    - ops/deform.py: exact unbounded XLA gather; default off-TPU (CPU tests
+      stay bit-exact) and the semantic reference for parity tests.
 
-    Auto policy on TPU: train -> pallas, eval -> exact. The two agree to
-    float tolerance whenever |offset| <= radius (tests/test_dcn_pallas.py);
-    monitor jnp.abs(offset).max() against the radius on trained
-    checkpoints. Other backends always use the exact gather (CPU tests
-    stay bit-exact). Override with YAT_DCN_IMPL={pallas,exact}.
+    Override with YAT_DCN_IMPL={mxu,pallas,exact}.
     """
 
     out_channels: int
@@ -500,10 +498,17 @@ class DyDCNv2(nn.Module):
             jnp.float32,
         )
         impl = os.environ.get("YAT_DCN_IMPL", "auto")
-        use_pallas = (impl == "pallas") or (
-            impl == "auto" and train and jax.default_backend() == "tpu"
-        )
-        if use_pallas:
+        if impl == "auto":
+            impl = "mxu" if jax.default_backend() == "tpu" else "exact"
+        if impl == "mxu":
+            from yolo_ad_refine_tpu.ops.deform_mxu import (
+                modulated_deform_conv2d_mxu,
+            )
+
+            y = modulated_deform_conv2d_mxu(
+                x, offset, mask, weight.astype(x.dtype), int(self.radius)
+            )
+        elif impl == "pallas":
             from yolo_ad_refine_tpu.ops.deform_pallas import (
                 modulated_deform_conv2d_pallas,
             )

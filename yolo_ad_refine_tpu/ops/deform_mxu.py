@@ -48,9 +48,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 K = 3           # kernel size (3x3, the AYHead configuration)
 KK = K * K
-CH = 8          # output rows per chunk; window rows per tap = CH + 2r + 2
+# output rows per chunk; window rows per tap = CH + 2r + 2, so larger chunks
+# amortize the y-window overlap ((CH+8)/CH matmuls per output row at r=3)
+# at the cost of more VMEM per temporary. 8 and 16 both fit the flagship.
+CH = int(os.environ.get("YAT_MXU_CH", "8"))
+# Mosaic IR size vs schedule quality: fully unrolling the window-row loop
+# lets Mosaic software-pipeline the matmuls (P3 fwd 8.9 vs 14.5 ms) at the
+# price of a long one-time compile (cached on disk afterwards). The backward
+# is ~4x the IR, so it gets a partial unroll.
+UNROLL_FWD = True
+UNROLL_BWD = 4
 
 
 def _hat(u):
@@ -107,18 +118,25 @@ def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, w, s,
             # a_y(p) = offy + y(p) + r + 1; wy_d = hat(a_y - d)
             ay = offy + y_of_p + float(radius + 1)            # (CH, W)
 
-            # window rows for this tap start at padded row y0 + ty + 1
+            # window rows for this tap start at padded row y0 + ty + 1.
+            # bf16 inputs keep the MXU at full bf16 rate (f32 accumulate);
+            # the only extra quantization vs f32 is on the hat weights.
             base = y0 + ty + (s - radius - 1)
-            sacc = jnp.zeros((p, c), jnp.float32)
-            for d in range(d_win):
-                x_row = xs_ref[0, base + d, :, :].astype(jnp.float32)
+            wxm = wx.astype(xs_ref.dtype)
+
+            def d_body(d, sacc, *, base=base, wxm=wxm, ay=ay):
+                x_row = xs_ref[0, base + d, :, :]
                 u_d = jax.lax.dot_general(
-                    wx, x_row,
+                    wxm, x_row,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                             # (P, C)
-                wy_d = _hat(ay - float(d)).reshape(p, 1)
-                sacc = sacc + wy_d * u_d
+                wy_d = _hat(ay - d.astype(jnp.float32)).reshape(p, 1)
+                return sacc + wy_d * u_d
+
+            sacc = jax.lax.fori_loop(0, d_win, d_body,
+                                     jnp.zeros((p, c), jnp.float32),
+                                     unroll=UNROLL_FWD)
             sampled = (sacc * m).astype(w_ref.dtype)
             acc_out = acc_out + jax.lax.dot_general(
                 sampled, w_ref[t * c : (t + 1) * c, :],
@@ -184,17 +202,16 @@ def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
             gsm = gs * m
 
             base = y0 + ty + (s - radius - 1)
-            sacc = jnp.zeros((p, c), jnp.float32)
-            doffy = jnp.zeros((p, 1), jnp.float32)
-            dwx_acc = jnp.zeros((p, wp), jnp.float32)
-            for d in range(d_win):
+
+            def d_body(d, carry, *, base=base, wx=wx, ay=ay, gsm=gsm):
+                sacc, doffy, dwx_acc = carry
                 x_row = xs_ref[0, base + d, :, :].astype(jnp.float32)
                 u_d = jax.lax.dot_general(
                     wx, x_row,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                             # (P, C)
-                a_d = ay - float(d)
+                a_d = ay - d.astype(jnp.float32)
                 wy_d = _hat(a_d).reshape(p, 1)
                 sacc = sacc + wy_d * u_d
                 # doffy via dwy: dwy_d = sum_c u_d * gsm
@@ -213,6 +230,13 @@ def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                             # (P, Wp)
+                return sacc, doffy, dwx_acc
+
+            sacc, doffy, dwx_acc = jax.lax.fori_loop(
+                0, d_win, d_body,
+                (jnp.zeros((p, c), jnp.float32),
+                 jnp.zeros((p, 1), jnp.float32),
+                 jnp.zeros((p, wp), jnp.float32)), unroll=UNROLL_BWD)
             doffx = jnp.sum(dwx_acc * dwx_du, axis=-1, keepdims=True)
             dmask_cols.append(jnp.sum(gs * sacc, axis=-1, keepdims=True)
                               .reshape(ch, w, 1))
