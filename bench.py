@@ -124,8 +124,16 @@ def main():
 
     base = load_torch_baseline()
     base_ips = float(base.get("images_per_sec", 0.0)) or None
+    # MFU: model forward GFLOPs (utils/benchmarks.py model_flops: 12.6 @640)
+    # against the v5e bf16 peak. The honest efficiency number — vs_baseline
+    # alone compares against a 1-vCPU torch eager run (the only hardware
+    # both stacks share on this host) and so vastly overstates the win.
+    MODEL_GFLOPS = 12.6
+    PEAK_TFLOPS = 197.0
+    mfu_pct = ips * MODEL_GFLOPS * 1e9 / (PEAK_TFLOPS * 1e12) * 100.0
     extra = {
         "inference_ms_per_image": round(ms_img, 3),
+        "mfu_pct": round(mfu_pct, 2),
         "device": str(jax.devices()[0]),
         "baseline": {
             "images_per_sec": base_ips,
@@ -133,6 +141,18 @@ def main():
             "device": base.get("device"),
             "source": "benchmarks/torch_baseline.json (measured, see "
                       "benchmarks/measure_torch_baseline.py)",
+            "note": "this host exposes 1 vCPU, so the measured torch-CPU "
+                    "anchor is necessarily single-threaded; vs_baseline "
+                    "therefore flatters the TPU — read mfu_pct and "
+                    "gpu_context for the real distance to speed-of-light",
+        },
+        "gpu_context": {
+            # public ultralytics model-page numbers for the closest stock
+            # model class (YOLO11n 2.6M params / 6.5 GFLOPs): ~1.5 ms/img
+            # on T4 TensorRT10. The flagship here is 4.10M params /
+            # 12.6 GFLOPs, ~2x the FLOPs.
+            "yolo11n_t4_tensorrt_ms_per_image": 1.5,
+            "source": "docs.ultralytics.com/models/yolo11 (public table)",
         },
     }
     if train_ms is not None:

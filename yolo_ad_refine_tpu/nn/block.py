@@ -535,12 +535,100 @@ class Add(nn.Module):
         return out
 
 
+def _interp_matrix_align_corners(size_in: int, size_out: int) -> np.ndarray:
+    """(out, in) bilinear interpolation matrix, align_corners=True.
+
+    src(i) = i * (in-1)/(out-1); static shapes -> built at trace time, so
+    upsampling becomes two dense matmuls riding the MXU (like the adaptive
+    pool above) instead of a gather.
+    """
+    m = np.zeros((size_out, size_in), dtype=np.float32)
+    if size_out == 1:
+        m[0, 0] = 1.0
+        return m
+    scale = (size_in - 1) / (size_out - 1)
+    for i in range(size_out):
+        src = i * scale
+        lo = int(np.floor(src))
+        hi = min(lo + 1, size_in - 1)
+        f = src - lo
+        m[i, lo] += 1.0 - f
+        m[i, hi] += f
+    return m
+
+
+def resize_bilinear_align_corners(x, out_hw):
+    """NHWC bilinear resize with torch align_corners=True semantics."""
+    _, h, w, _ = x.shape
+    oh, ow = (out_hw, out_hw) if isinstance(out_hw, int) else out_hw
+    if (h, w) == (oh, ow):
+        return x
+    mh = jnp.asarray(_interp_matrix_align_corners(h, oh), dtype=x.dtype)
+    mw = jnp.asarray(_interp_matrix_align_corners(w, ow), dtype=x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("ow,bhwc->bhoc", mw, x)
+
+
+@register
+class GSConv(nn.Module):
+    """Slim-neck GSConv (reference block.py:1457-1479): half the channels via
+    a dense conv, the other half via a cheap 5x5 depthwise over them, then a
+    pairwise channel shuffle (out[j*c_+i] = cat[2i+j])."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    d: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        x1 = Conv(c_, self.k, self.s, self.p, self.g, self.d,
+                  dtype=self.dtype, name="cv1")(x, train)
+        x2 = Conv(c_, 5, 1, None, c_, self.d, dtype=self.dtype,
+                  name="cv2")(x1, train)
+        y = jnp.concatenate([x1, x2], axis=-1)
+        b, h, w, n = y.shape
+        # de-interleave shuffle: out channel j*(n//2)+i <- y channel 2i+j
+        y = y.reshape(b, h, w, n // 2, 2)
+        y = jnp.swapaxes(y, -1, -2)
+        return y.reshape(b, h, w, n)
+
+
+class SDI(nn.Module):
+    """Selective Dimension Interaction fusion (reference block.py:1481-1498,
+    from U-Net v2): every input is GSConv-projected to the first input's
+    channel count, resampled to its spatial size (adaptive-avg down,
+    align_corners-bilinear up), and the results are multiplied."""
+
+    channels: tuple
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        th, tw = xs[0].shape[1], xs[0].shape[2]
+        ans = None
+        for i, x in enumerate(xs):
+            if x.shape[2] > tw:
+                x = adaptive_avg_pool2d(x, (th, tw))
+            elif x.shape[2] < tw:
+                x = resize_bilinear_align_corners(x, (th, tw))
+            y = GSConv(self.channels[0], dtype=self.dtype,
+                       name=f"convs_{i}")(x, train)
+            ans = y if ans is None else ans * y
+        return ans
+
+
 @register
 class Fusion(nn.Module):
     """Multi-input fusion node (reference block.py:1500-1537).
 
     Modes: 'weight' (1x1 convs + sum), 'adaptive' (softmax gate), 'concat',
-    'bifpn' (learnable ReLU-normalized weights — the flagship mode).
+    'bifpn' (learnable ReLU-normalized weights — the flagship mode), 'SDI'
+    (GSConv-projected multiplicative fusion).
     """
 
     inc_list: tuple
@@ -550,7 +638,9 @@ class Fusion(nn.Module):
     @nn.compact
     def __call__(self, xs, train: bool = False):
         mode = self.fusion
-        assert mode in ("weight", "adaptive", "concat", "bifpn"), f"unsupported fusion {mode}"
+        assert mode in ("weight", "adaptive", "concat", "bifpn", "SDI"), f"unsupported fusion {mode}"
+        if mode == "SDI":
+            return SDI(tuple(self.inc_list), dtype=self.dtype, name="SDI")(xs, train)
         if mode in ("weight", "adaptive"):
             xs = [
                 Conv(c, 1, dtype=self.dtype, name=f"fusion_conv{i}")(x, train)

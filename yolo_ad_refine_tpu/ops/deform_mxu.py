@@ -58,10 +58,13 @@ KK = K * K
 CH = int(os.environ.get("YAT_MXU_CH", "8"))
 # Mosaic IR size vs schedule quality: fully unrolling the window-row loop
 # lets Mosaic software-pipeline the matmuls (P3 fwd 8.9 vs 14.5 ms) at the
-# price of a long one-time compile (cached on disk afterwards). The backward
-# is ~4x the IR, so it gets a partial unroll.
+# price of a long one-time compile (cached on disk afterwards). Mosaic
+# supports only full or no unroll for fori_loop; the backward's IR is ~4x
+# the forward's but unrolling it is worth ~3x wall-clock (P3 fwd+bwd
+# 31.95 ms unrolled; the rolled variant regressed the full train step to
+# 377 ms). YAT_MXU_UNROLL_BWD=0 opts back into the fast-compile variant.
 UNROLL_FWD = True
-UNROLL_BWD = 4
+UNROLL_BWD = os.environ.get("YAT_MXU_UNROLL_BWD", "1") == "1"
 
 
 def _hat(u):
@@ -373,8 +376,10 @@ def _bwd_rule(radius, res, gout):
             jax.ShapeDtypeStruct((b, hc, w, KK), jnp.float32),
             jax.ShapeDtypeStruct((b, KK * c, cout), jnp.float32),
         ],
+        # the fully-unrolled window loop keeps ~d_win iterations of (P, Wp)
+        # temporaries live; 100M is 6M short at P3 (v5e VMEM is 128M/core)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=116 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
     )(xs, offp, maskp, wflat, gpad)
