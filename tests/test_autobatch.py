@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: run with --slow (quick tier excludes)
 
 
 class TestAutobatch:

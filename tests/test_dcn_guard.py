@@ -12,6 +12,9 @@ import jax
 import jax.numpy as jnp
 
 from yolo_ad_refine_tpu.models.model import build_detection_model
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: run with --slow (quick tier excludes)
 
 TINY_CFG = {
     "nc": 3,

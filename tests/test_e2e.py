@@ -60,6 +60,7 @@ def toy_dataset(tmp_path_factory):
 
 
 class TestTrainer:
+    @pytest.mark.slow
     def test_train_2_epochs(self, toy_dataset, tmp_path):
         from yolo_ad_refine_tpu.train.trainer import DetectionTrainer
 
@@ -134,6 +135,7 @@ class TestValidatorPredictor:
 
 
 class TestAYHeadE2E:
+    @pytest.mark.slow
     def test_ayhead_train_step(self, toy_dataset):
         """One gradient step through the full AYHead (deform conv included)."""
         from yolo_ad_refine_tpu.models.model import build_detection_model

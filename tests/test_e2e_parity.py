@@ -18,6 +18,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with --slow (quick tier excludes)
+
 REF = Path("/root/reference")
 # a real photographic image shipped with the reference training artifacts
 IMAGE = REF / "weights" / "yolo11-701-YOLO-AD-Refine" / "val_batch0_labels.jpg"

@@ -118,6 +118,12 @@ def test_fullval_map_parity(dataset, cfg, tol):
     sample = np.stack(imgs).transpose(0, 3, 1, 2).copy()
 
     tmodel = _calibrated_torch_model(cfg, sample)
+    # snapshot BEFORE torch val: the reference validator fuses conv+bn in
+    # place (engine/validator.py model.fuse()), which would leave a
+    # bias-carrying BN-free state dict that cannot transplant
+    import copy
+
+    sd = copy.deepcopy(tmodel.state_dict())
 
     # --- torch reference full val pipeline -------------------------------
     from ultralytics.models.yolo.detect import DetectionValidator as TorchVal
@@ -137,7 +143,7 @@ def test_fullval_map_parity(dataset, cfg, tol):
     ours = DetectionModel(str(REF / cfg))
     ours.init(imgsz=imgsz)
     ours.variables = import_torch_state_dict(
-        tmodel.state_dict(), ours.variables, strict=True,
+        sd, ours.variables, strict=True,
         deconv_layers=ours.deconv_layer_indices)
     val = DetectionValidator(args={"data": str(dataset / "data.yaml"),
                                    "imgsz": imgsz, "batch": 8, "conf": 0.001,

@@ -23,6 +23,7 @@ def build(head_row, nc=3):
 
 
 class TestSegment:
+    @pytest.mark.slow
     def test_contract(self):
         m = build([[2, 3, 4], 1, "Segment", ["nc", 8, 32]])
         x = jnp.zeros((2, 64, 64, 3))

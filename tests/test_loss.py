@@ -100,6 +100,7 @@ class TestAssigner:
         tb = np.asarray(res.target_bboxes[0])[fg]
         np.testing.assert_allclose(tb, np.tile(gt_box[0, 0], (tb.shape[0], 1)), atol=1e-4)
 
+    @pytest.mark.slow
     def test_empty_gt(self):
         imgsz = 64
         shapes = [(imgsz // s, imgsz // s) for s in STRIDES]
@@ -119,6 +120,7 @@ class TestDetectionLoss:
     def setup_method(self):
         self.loss = DetectionLoss(nc=NC, strides=STRIDES)
 
+    @pytest.mark.slow
     def test_finite_and_positive(self):
         feats = make_feats()
         labels, boxes, mask = make_targets()

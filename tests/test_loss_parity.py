@@ -13,6 +13,8 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with --slow (quick tier excludes)
+
 REF = Path("/root/reference")
 NC = 5
 STRIDES = (8, 16, 32)

@@ -1,6 +1,7 @@
 """Mask postprocess tests + segment inference e2e (coeffs through NMS to masks)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -28,6 +29,7 @@ def test_process_mask_shapes_and_range():
     assert m[:, :4, :4].max() < 1e-3
 
 
+@pytest.mark.slow
 def test_segment_inference_pipeline():
     """Eval Segment output -> NMS with coeff carry -> masks."""
     from yolo_ad_refine_tpu.models.model import build_detection_model

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from yolo_ad_refine_tpu.train.obb import OBBLoss, select_candidates_in_rotated_gts
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with --slow (quick tier excludes)
+
 TINY_OBB = {
     "nc": 2,
     "backbone": [

@@ -5,6 +5,8 @@ import pytest
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with --slow (quick tier excludes)
+
 TINY_OBB = {
     "nc": 1,
     "backbone": [

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with --slow (quick tier excludes)
+
 TINY_POSE = {
     "nc": 1,
     "kpt_shape": [4, 3],

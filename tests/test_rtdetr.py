@@ -8,6 +8,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with --slow (quick tier excludes)
+
 REF = Path("/root/reference")
 CFG = REF / "ultralytics/cfg/models/rt-detr/rtdetr-l.yaml"
 

@@ -10,6 +10,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ViT encoder compiles dominate; quick tier excludes
+
 REF = Path("/root/reference")
 
 

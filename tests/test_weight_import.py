@@ -48,6 +48,7 @@ def test_yolo11n_logits_parity():
 
 
 @pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+@pytest.mark.slow
 def test_flagship_logits_parity():
     """Full custom stack: MLCA backbone, C2PTSSA (EDFFN FFT + cross-scale
     attention), ELA-HSFPN neck, AYHead with real modulated deformable conv —

@@ -26,6 +26,14 @@ from yolo_ad_refine_tpu.models.parser import LayerSpec, load_model_cfg, parse_mo
 from yolo_ad_refine_tpu.utils import LOGGER
 
 
+def _require_text(txt, mname):
+    if txt is None:
+        raise ValueError(
+            f"{mname} needs text embeddings: call set_classes(names) on the "
+            "YOLO facade (offline hashed-n-gram encoder) or pass text_feats")
+    return txt
+
+
 class DetectionGraph(nn.Module):
     """Flax module executing the compiled yaml layer list with feature routing.
 
@@ -45,11 +53,11 @@ class DetectionGraph(nn.Module):
                  text_feats=None):
         # dn: optional contrastive-denoising group routed to an RTDETRDecoder
         # head (train/rtdetr.py make_cdn_group); text_feats: optional (nc,
-        # embed) class text embeddings routed to a WorldDetect head (the CLIP
-        # text encoder is unavailable in this zero-egress build — users
-        # supply embeddings from any encoder; without them the head scores
-        # against its learned default_text parameter and the open-vocabulary
-        # capability is inert). Both are ignored by every other head.
+        # embed) class text embeddings routed to a WorldDetect head (the
+        # reference uses CLIP, unavailable offline — set_classes falls back
+        # to the deterministic hashed-n-gram encoder in utils/text.py, or
+        # callers pass embeddings from any encoder). Both kwargs are ignored
+        # by every other head.
         input_h = x.shape[1]
         # full per-layer output list: 'from' may be absolute (savelist) or
         # negative-relative (e.g. [-1, -2] in z-yaml ablations) — exactly the
@@ -57,6 +65,14 @@ class DetectionGraph(nn.Module):
         # savelist are dropped to None so XLA frees them.
         ys: list[Any] = []
         out = x
+        # running text stream for YOLO-World graphs: C2fAttn consumes it as
+        # guide, ImagePoolingAttn refines it, WorldDetect scores against the
+        # ORIGINAL embeddings (reference tasks.py:657-669 ori_txt_feats).
+        # The stream is batched (B, nc, embed) like the reference's repeat;
+        # the head contract stays (nc, embed).
+        txt = text_feats
+        if txt is not None and txt.ndim == 2:
+            txt = jnp.broadcast_to(txt[None], (x.shape[0],) + txt.shape)
         for i, (m, f) in enumerate(zip(self.modules, self.froms)):
             def fetch(j, i=i):
                 return out if j == -1 else ys[j % i]  # j % i absolutizes negatives
@@ -73,7 +89,14 @@ class DetectionGraph(nn.Module):
                              input_h=input_h)
                 return m(feats, train=train, input_h=input_h)
             inp = fetch(f) if isinstance(f, int) else [fetch(j) for j in f]
-            out = m(inp, train=train)
+            mname = type(m).__name__
+            if mname == "C2fAttn":
+                out = m(inp, _require_text(txt, mname), train=train)
+            elif mname == "ImagePoolingAttn":
+                txt = m(inp, _require_text(txt, mname), train=train)
+                out = inp[0]  # stream placeholder; consumers route by index
+            else:
+                out = m(inp, train=train)
             ys.append(out if i in self.save else None)
         return out  # headless graph (feature extractor)
 
@@ -116,6 +139,18 @@ class DetectionModel:
         )
         self.variables = None
         self.strides = None
+        # YOLO-World graphs (C2fAttn / ImagePoolingAttn rows) need a text
+        # stream from the very first trace; the reference seeds a randn
+        # placeholder (tasks.py:614) replaced by set_classes. Plain
+        # WorldDetect-only graphs keep their learned default_text fallback.
+        self.text_feats = None
+        if any(type(s.module).__name__ in ("C2fAttn", "ImagePoolingAttn")
+               for s in self.specs):
+            embed = (int(getattr(self.head_spec.module, "embed", 512) or 512)
+                     if self.head_spec is not None else 512)
+            t = np.random.default_rng(0).standard_normal(
+                (self.nc, embed)).astype(np.float32)
+            self.text_feats = t / np.linalg.norm(t, axis=-1, keepdims=True)
 
     @property
     def deconv_layer_indices(self) -> tuple:
@@ -133,7 +168,10 @@ class DetectionModel:
         """Initialize params/batch_stats with a dummy NHWC input."""
         key = key if key is not None else jax.random.PRNGKey(0)
         dummy = jnp.zeros((batch, imgsz, imgsz, 3), dtype=self.dtype)
-        init_fn = jax.jit(lambda k, x: self.graph.init({"params": k}, x, train=False))
+        kw = ({"text_feats": jnp.asarray(self.text_feats)}
+              if self.text_feats is not None else {})
+        init_fn = jax.jit(
+            lambda k, x: self.graph.init({"params": k}, x, train=False, **kw))
         self.variables = jax.block_until_ready(init_fn(key, dummy))
         self.probe_strides(imgsz)
         return self.variables
@@ -145,18 +183,21 @@ class DetectionModel:
         dummy = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), self.dtype)
 
         def fwd(v, x):
-            out = self.graph.apply(v, x, train=False)[1]  # eval path: (y, feats)
+            out = self.graph.apply(v, x, train=False, **kw)[1]  # eval path: (y, feats)
             if isinstance(out, dict):  # v10Detect: {'one2many', 'one2one'}
                 return out["one2one"]
             # Segment/Pose/OBB eval returns (feats, *extras)
             return out[0] if isinstance(out, tuple) else out
 
+        kw = ({"text_feats": jnp.asarray(self.text_feats)}
+              if getattr(self, "text_feats", None) is not None else {})
         if self.variables is not None:
             var_shapes = self.variables
         else:
             var_shapes = jax.eval_shape(
                 lambda: self.graph.init(
-                    jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3), self.dtype)
+                    jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3), self.dtype),
+                    **kw,
                 )
             )
         feats = jax.eval_shape(fwd, var_shapes, dummy)
@@ -164,12 +205,20 @@ class DetectionModel:
         return self.strides
 
     # -- forward -----------------------------------------------------------
-    def apply(self, variables, x, train: bool = False, rngs=None, mutable=False):
+    def apply(self, variables, x, train: bool = False, rngs=None, mutable=False,
+              text_feats=None):
         """Pure functional forward. train=True returns per-level feats (and
-        updated batch_stats when mutable=True); eval returns (decoded, feats)."""
+        updated batch_stats when mutable=True); eval returns (decoded, feats).
+        text_feats: (nc, embed) open-vocab class embeddings for a WorldDetect
+        head; defaults to whatever set_classes stored on this model."""
+        if text_feats is None:
+            text_feats = getattr(self, "text_feats", None)
+        kw = {}
+        if text_feats is not None:
+            kw["text_feats"] = jnp.asarray(text_feats, jnp.float32)
         return self.graph.apply(
             variables, x, train=train, rngs=rngs,
-            mutable=["batch_stats"] if (train and mutable) else False,
+            mutable=["batch_stats"] if (train and mutable) else False, **kw,
         )
 
     def __call__(self, x, train: bool = False, rngs=None):

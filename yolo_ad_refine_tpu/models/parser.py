@@ -44,7 +44,7 @@ HEAD_MODULES = {"Detect", "AYHead", "AYHead1", "Classify", "Segment", "Pose", "O
 WIDTH_SCALED = {
     "Conv", "DWConv", "SPPF", "SPP", "C2f", "C3", "C3k2", "C2PSA",
     "C3k2_MLCA", "C2TSSA_DYT_Mona_EDFFN", "C2SFA", "C2PTSSA",
-    "nn.Conv2d", "nn.ConvTranspose2d",
+    "nn.Conv2d", "nn.ConvTranspose2d", "C2fAttn", "GSConv",
     # conv extras + v10 blocks (nn/conv_extras.py)
     "Conv2", "LightConv", "Focus", "GhostConv", "RepConv",
     "SCDown", "C2fCIB", "PSA", "Bottleneck",
@@ -86,9 +86,15 @@ def load_model_cfg(cfg: str | Path | dict) -> dict:
         return dict(cfg)
     p = Path(cfg)
     if not p.exists():
-        unified = p.with_name(re.sub(r"(\d+)([nslmx])(.*)\.", r"\1\3.", p.name))
-        if unified.exists():
-            p = unified
+        from yolo_ad_refine_tpu.utils import ROOT
+
+        unified_name = re.sub(r"(\d+)([nslmx])(.*)\.", r"\1\3.", p.name)
+        for cand in (p.with_name(unified_name),
+                     ROOT / "cfg" / "models" / p.name,
+                     ROOT / "cfg" / "models" / unified_name):
+            if cand.exists():
+                p = cand
+                break
     d = yaml_load(p, append_filename=True)
     scale = guess_model_scale(cfg)
     if scale:
@@ -213,6 +219,20 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
                 cls = B.C2f if name == "C2f" else B.C3
                 module = cls(c2, n, shortcut, dtype=dtype)
                 n = 1
+            elif name == "C2fAttn":
+                # reference tasks.py:1021-1024: embed channels and head count
+                # get their own width gains
+                ec = rest[0] if rest else 128
+                nh = rest[1] if len(rest) > 1 else 1
+                gc = rest[2] if len(rest) > 2 else 512
+                ec = make_divisible(min(ec, max_channels / 2) * width, 8)
+                if nh > 1:
+                    nh = int(max(round(min(nh, max_channels / 64)) * width, 1))
+                module = B.C2fAttn(c2, n=n, ec=ec, nh=nh, gc=gc, dtype=dtype)
+                n = 1
+            elif name == "GSConv":
+                module = B.GSConv(c2, rest[0] if rest else 1,
+                                  rest[1] if len(rest) > 1 else 1, dtype=dtype)
             elif name in ("C3k2", "C3k2_MLCA"):
                 c3k = rest[0] if rest else False
                 e = rest[1] if len(rest) > 1 else 0.5
@@ -295,6 +315,15 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
                 module = CE.SPPELAN(c2, args[1], args[2] if len(args) > 2 else 5,
                                     dtype=dtype)
             del c1
+        elif name == "ImagePoolingAttn":
+            # multi-input text-refinement node (reference tasks.py:1082 routes
+            # it with the head modules: ch list appended, ec arg unscaled).
+            # Its output replaces the running txt_feats in the executor, not
+            # the feature stream — downstream rows route around it by index.
+            ec = args[0] if args else 256
+            module = B.ImagePoolingAttn(ec=ec, ch=tuple(ch_list[j] for j in f),
+                                        dtype=dtype)
+            c2 = ch_list[f[0]]
         elif name in ("CBAM", "ChannelAttention", "SpatialAttention"):
             c2 = ch_list[f]  # channel-preserving attention gates
             if name == "CBAM":

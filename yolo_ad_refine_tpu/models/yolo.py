@@ -120,9 +120,10 @@ class YOLO:
     def set_classes(self, names: list, text_embeddings=None):
         """Open-vocabulary class setup for WorldDetect models (reference
         YOLOWorld.set_classes). The reference encodes `names` with CLIP; CLIP
-        weights cannot be fetched in this zero-egress build, so callers pass
-        `text_embeddings` (len(names), embed) from any encoder — without them
-        the head is inert (scores against its learned default_text param)."""
+        weights cannot be fetched in this zero-egress build, so without an
+        explicit `text_embeddings` (len(names), embed) the names are encoded
+        by the deterministic offline hashed-n-gram encoder (utils/text.py) —
+        functional, but without CLIP's zero-shot semantics."""
         import numpy as np
 
         if getattr(self.model.head_spec, "name", "") != "WorldDetect":
@@ -131,11 +132,16 @@ class YOLO:
         if text_embeddings is not None:
             t = np.asarray(text_embeddings, np.float32)
             assert t.ndim == 2 and t.shape[0] == len(names), t.shape
-            self.model.text_feats = t
         else:
-            LOGGER.warning("set_classes without text_embeddings: WorldDetect "
-                           "will score against its learned default_text param "
-                           "(no offline CLIP in this build)")
+            from yolo_ad_refine_tpu.utils.text import encode_class_names
+
+            embed = int(getattr(self.model.head_spec.module, "embed", 512) or 512)
+            t = encode_class_names([str(n) for n in names], embed)
+            LOGGER.warning("set_classes without text_embeddings: using the "
+                           "offline hashed-n-gram text encoder (no CLIP in "
+                           "this zero-egress build; zero-shot semantics are "
+                           "degraded — pass CLIP embeddings for parity)")
+        self.model.text_feats = t
         return self
 
     def info(self):

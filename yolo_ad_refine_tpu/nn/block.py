@@ -394,6 +394,132 @@ def adaptive_avg_pool2d(x, out_hw):
     return jnp.einsum("ow,bhwc->bhoc", mw, x)
 
 
+def adaptive_max_pool2d(x, out_hw):
+    """NHWC adaptive max pool, exact torch segment semantics. Static shapes
+    let the (small) out_h x out_w slice grid unroll at trace time."""
+    _, h, w, _ = x.shape
+    oh, ow = (out_hw, out_hw) if isinstance(out_hw, int) else out_hw
+
+    def seg(n, o, i):
+        return (i * n) // o, -(-((i + 1) * n) // o)
+
+    rows = []
+    for i in range(oh):
+        hs, he = seg(h, oh, i)
+        cols = []
+        for j in range(ow):
+            ws, we = seg(w, ow, j)
+            cols.append(jnp.max(x[:, hs:he, ws:we, :], axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # (B, oh, ow, C)
+
+
+# ---------------------------------------------------------------------------
+# YOLO-World open-vocabulary blocks (reference block.py:418-523)
+# ---------------------------------------------------------------------------
+
+
+class MaxSigmoidAttnBlock(nn.Module):
+    """Text-guided max-sigmoid spatial gate (reference block.py:418-450).
+
+    Image embeddings score against every class text embedding; the max over
+    classes, sigmoided per head, gates the 3x3-projected features."""
+
+    c2: int
+    nh: int = 1
+    ec: int = 128
+    gc: int = 512
+    scale: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guide, train: bool = False):
+        b, h, w, c1 = x.shape
+        hc = self.c2 // self.nh
+        embed = (Conv(self.ec, 1, act=False, dtype=self.dtype, name="ec")(x, train)
+                 if c1 != self.ec else x)
+        g = nn.Dense(self.ec, dtype=jnp.float32, name="gl")(guide.astype(jnp.float32))
+        g = g.reshape(g.shape[0], -1, self.nh, hc)          # (B, nc, nh, hc)
+        e = embed.astype(jnp.float32).reshape(b, h, w, self.nh, hc)
+        aw = jnp.einsum("bhwmc,bnmc->bhwmn", e, g)
+        aw = jnp.max(aw, axis=-1) / (hc ** 0.5)             # (B, H, W, nh)
+        bias = self.param("bias", nn.initializers.zeros, (self.nh,), jnp.float32)
+        aw = nn.sigmoid(aw + bias)
+        if self.scale:
+            aw = aw * self.param("scale", nn.initializers.ones,
+                                 (self.nh,), jnp.float32)
+        y = Conv(self.c2, 3, act=False, dtype=self.dtype, name="proj_conv")(x, train)
+        y = y.reshape(b, h, w, self.nh, hc) * aw[..., None].astype(y.dtype)
+        return y.reshape(b, h, w, self.c2)
+
+
+@register
+class C2fAttn(nn.Module):
+    """C2f with a trailing text-guided attn branch (reference block.py:453)."""
+
+    c2: int
+    n: int = 1
+    ec: int = 128
+    nh: int = 1
+    gc: int = 512
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guide, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        ys = list(jnp.split(y, 2, axis=-1))
+        for i in range(self.n):
+            ys.append(Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0,
+                                 dtype=self.dtype, name=f"m{i}")(ys[-1], train))
+        ys.append(MaxSigmoidAttnBlock(c, nh=self.nh, ec=self.ec, gc=self.gc,
+                                      dtype=self.dtype, name="attn")(ys[-1], guide, train))
+        return Conv(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(ys, axis=-1), train)
+
+
+@register
+class ImagePoolingAttn(nn.Module):
+    """Image-aware text refinement (reference block.py:480-523): pooled
+    multi-scale patches attend into the text embeddings (residual)."""
+
+    ec: int = 256
+    ch: tuple = ()
+    ct: int = 512
+    nh: int = 8
+    k: int = 3
+    scale: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, text, train: bool = False):
+        bs = xs[0].shape[0]
+        np_ = self.k * self.k
+        feats = []
+        for i, x in enumerate(xs):
+            p = nn.Conv(self.ec, (1, 1), use_bias=True, dtype=jnp.float32,
+                        name=f"projections_{i}")(x.astype(jnp.float32))
+            feats.append(adaptive_max_pool2d(p, self.k).reshape(bs, np_, self.ec))
+        xcat = jnp.concatenate(feats, axis=1)               # (B, nf*k^2, ec)
+        text = text.astype(jnp.float32)
+        q = nn.Dense(self.ec, name="query_1")(nn.LayerNorm(name="query_0")(text))
+        kk = nn.Dense(self.ec, name="key_1")(nn.LayerNorm(name="key_0")(xcat))
+        v = nn.Dense(self.ec, name="value_1")(nn.LayerNorm(name="value_0")(xcat))
+        hc = self.ec // self.nh
+        q = q.reshape(bs, -1, self.nh, hc)
+        kk = kk.reshape(bs, -1, self.nh, hc)
+        v = v.reshape(bs, -1, self.nh, hc)
+        aw = nn.softmax(jnp.einsum("bnmc,bkmc->bmnk", q, kk) / (hc ** 0.5), axis=-1)
+        out = jnp.einsum("bmnk,bkmc->bnmc", aw, v).reshape(bs, -1, self.ec)
+        out = nn.Dense(self.ct, name="proj")(out)
+        if self.scale:
+            out = out * self.param("scale", nn.initializers.zeros, (1,), jnp.float32)
+        return out + text
+
+
 # ---------------------------------------------------------------------------
 # fork-custom: MLCA attention family
 # ---------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from yolo_ad_refine_tpu.nn.common import Conv, ConvGN, DWConv, conv2d, dfl_decode, hardswish, silu
@@ -186,23 +187,32 @@ class WorldDetect(nn.Module):
         c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
         c3 = max(self.ch[0], min(self.nc, 100))
         outputs = []
-        logit_scale = self.param("logit_scale", nn.initializers.constant(1.0), (), jnp.float32)
-        bias = self.param("cls_bias", nn.initializers.constant(-10.0), (), jnp.float32)
         for i, x in enumerate(xs):
             r = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
             r = Conv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(r, train)
             r = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, dtype=self.dtype,
                         bias_init=nn.initializers.ones, name=f"cv2_{i}_2")(r)
-            e = Conv(c3, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
-            e = Conv(c3, 3, dtype=self.dtype, name=f"cv4_{i}_1")(e, train)
+            # embed branch = reference's overridden cv3 (head.py:286); the
+            # per-level contrastive head is cv4.{i} (block.py:526-566)
+            e = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            e = Conv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(e, train)
             e = nn.Conv(self.embed, (1, 1), use_bias=True, dtype=self.dtype,
-                        name=f"cv4_{i}_2")(e)
-            if self.with_bn:
-                e = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
-                                 dtype=self.dtype, name=f"bn_{i}")(e)
+                        name=f"cv3_{i}_2")(e)
             e32 = e.astype(jnp.float32)
-            e32 = e32 / (jnp.linalg.norm(e32, axis=-1, keepdims=True) + 1e-9)
-            t = text_feats / (jnp.linalg.norm(text_feats, axis=-1, keepdims=True) + 1e-9)
+            if self.with_bn:
+                # BNContrastiveHead: batch norm REPLACES image-side L2 norm
+                e32 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                   epsilon=1e-5, dtype=jnp.float32,
+                                   name=f"cv4_{i}_norm")(e32)
+                ls_init = -1.0
+            else:
+                e32 = e32 / (jnp.linalg.norm(e32, axis=-1, keepdims=True) + 1e-12)
+                ls_init = float(np.log(1.0 / 0.07))
+            logit_scale = self.param(f"cv4_{i}_logit_scale",
+                                     nn.initializers.constant(ls_init), (), jnp.float32)
+            bias = self.param(f"cv4_{i}_bias",
+                              nn.initializers.constant(-10.0), (1,), jnp.float32)
+            t = text_feats / (jnp.linalg.norm(text_feats, axis=-1, keepdims=True) + 1e-12)
             logits = jnp.einsum("bhwe,ce->bhwc", e32, t) * jnp.exp(logit_scale) + bias
             outputs.append(jnp.concatenate([r, logits.astype(r.dtype)], axis=-1))
         if train:
@@ -210,7 +220,11 @@ class WorldDetect(nn.Module):
         strides = (
             tuple(input_h // f.shape[1] for f in outputs) if input_h is not None else self.strides
         )
-        y = decode_detections(outputs, strides, self.nc, self.reg_max)
+        # class count follows the supplied vocabulary (set_classes may pass
+        # fewer/more names than the built-in nc — the reference updates
+        # model.model[-1].nc the same way, models/yolo/world/model.py)
+        nc_eff = int(text_feats.shape[0])
+        y = decode_detections(outputs, strides, nc_eff, self.reg_max)
         return y, outputs
 
 
