@@ -158,3 +158,57 @@ class TestParkingManager:
 
     def test_headless_inference_helper_importable(self):
         from yolo_ad_refine_tpu.solutions import run_headless  # noqa: F401
+
+
+class TestAnnotatedPipelines:
+    """Round-3 enrichment: the reference's annotated-frame pipelines
+    (region overlay, box labels, track trails, count displays)."""
+
+    def test_counter_annotated_frame(self):
+        from yolo_ad_refine_tpu.solutions import ObjectCounter
+
+        counter = ObjectCounter(region=[(100, 0), (100, 200)],
+                                names={0: "obj"})
+        img = np.zeros((200, 200, 3), np.uint8)
+        for t in range(5):
+            out = counter.count(img.copy(), frame_results([
+                (80 + 10 * t, 50, 90 + 10 * t, 60, 1, 0.9, 0)]))
+        assert out.any()  # region + boxes + trails drew something
+        assert counter.summary()["in"] + counter.summary()["out"] == 1
+
+    def test_queue_annotated_frame(self):
+        from yolo_ad_refine_tpu.solutions import QueueManager
+
+        q = QueueManager(region=[(0, 0), (100, 0), (100, 100), (0, 100)])
+        img = np.zeros((200, 200, 3), np.uint8)
+        # frame 1: track has no history yet -> not counted (reference
+        # queue_management.py:50-53 prev_position gate)
+        q.process_queue(img.copy(), frame_results([(10, 10, 20, 20, 1, 0.9, 0)]))
+        assert q.count == 0
+        out = q.process_queue(img.copy(),
+                              frame_results([(12, 12, 22, 22, 1, 0.9, 0)]))
+        assert q.count == 1
+        assert out.any()
+
+    def test_heatmap_radial_and_blend(self):
+        from yolo_ad_refine_tpu.solutions import Heatmap
+
+        hm = Heatmap((200, 200))
+        img = np.zeros((200, 200, 3), np.uint8)
+        out = hm.generate_heatmap(img, frame_results([(40, 40, 80, 80, 1, 0.9, 0)]))
+        # +2 inside the inscribed circle, untouched outside the box
+        assert hm.heat[60, 60] == 2.0
+        assert hm.heat[41, 41] == 0.0  # corner outside the circle
+        assert hm.heat[150, 150] == 0.0
+        assert out.shape == (200, 200, 3) and out.any()
+
+    def test_heatmap_with_region_counts(self):
+        from yolo_ad_refine_tpu.solutions import Heatmap
+
+        hm = Heatmap((200, 200), region=[(0, 100), (200, 100)], names={0: "obj"})
+        img = np.zeros((200, 200, 3), np.uint8)
+        for t in range(5):
+            hm.generate_heatmap(img.copy(), frame_results([
+                (50, 80 + 10 * t, 70, 100 + 10 * t, 3, 0.9, 0)]))
+        s = hm.counter.summary()
+        assert s["in"] + s["out"] == 1  # crossed the line once
