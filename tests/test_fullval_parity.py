@@ -11,8 +11,10 @@ transplanted weights:
 
 This closes the north-star claim (BASELINE.json "mAP50-95 within 0.2") end
 to end: letterbox rounding, scale_boxes conventions, NMS tie-breaking and
-the metric stack all sit inside the compared span. Labels are synthetic —
-parity only needs both stacks to see the same labels, not a trained model.
+the metric stack all sit inside the compared span. Labels are generated
+from the calibrated torch model's OWN detections (random labels would give
+mAP=0.0 on both sides — vacuous parity), so mAP is high and every
+pipeline-convention difference moves it.
 """
 
 import sys
@@ -30,13 +32,12 @@ pytestmark = [
 
 
 @pytest.fixture(scope="module")
-def dataset(tmp_path_factory):
-    """64 textured images + random box labels in YOLO layout."""
+def images(tmp_path_factory):
+    """64 textured images (no labels — each cfg labels them from its own
+    calibrated torch model's detections)."""
     import cv2
 
-    root = tmp_path_factory.mktemp("fullval")
-    (root / "val" / "images").mkdir(parents=True)
-    (root / "val" / "labels").mkdir(parents=True)
+    root = tmp_path_factory.mktemp("fullval_imgs")
     rng = np.random.default_rng(7)
     for i in range(64):
         h, w = int(rng.integers(240, 400)), int(rng.integers(240, 400))
@@ -46,18 +47,61 @@ def dataset(tmp_path_factory):
             c = tuple(int(v) for v in rng.integers(0, 255, 3))
             cv2.circle(img, (int(rng.integers(0, w)), int(rng.integers(0, h))),
                        int(rng.integers(10, 60)), c, -1)
-        cv2.imwrite(str(root / "val" / "images" / f"{i}.jpg"), img)
+        cv2.imwrite(str(root / f"{i}.jpg"), img)
+    return root
+
+
+def _label_from_torch_predictions(tmodel, images, root, imgsz):
+    """YOLO-layout dataset whose labels are the torch model's own detections
+    (conf>=0.25). The model then 'finds' its labels during val, so mAP is
+    high and sensitive to letterbox/NMS/matching convention differences."""
+    import cv2
+    import shutil
+    import torch
+
+    from ultralytics.utils.ops import non_max_suppression, scale_boxes
+
+    from yolo_ad_refine_tpu.data.augment import letterbox
+
+    import math
+
+    (root / "val" / "images").mkdir(parents=True)
+    (root / "val" / "labels").mkdir(parents=True)
+    n_boxes = 0
+    for f in sorted(images.glob("*.jpg"), key=lambda p: int(p.stem)):
+        shutil.copy(f, root / "val" / "images" / f.name)
+        im0 = cv2.imread(str(f))
+        # replicate the val pipeline exactly: load_image long-side resize
+        # with CEIL'd dims (reference base.py:171), then letterbox pad — a
+        # single-step letterbox rounds sizes differently and the noise-model
+        # detections do not survive a 1px shift
+        h0, w0 = im0.shape[:2]
+        r = imgsz / max(h0, w0)
+        pre = cv2.resize(
+            im0, (min(math.ceil(w0 * r), imgsz), min(math.ceil(h0 * r), imgsz)),
+            interpolation=cv2.INTER_LINEAR) if r != 1 else im0
+        im, _, _ = letterbox(pre, imgsz, scaleup=False)
+        x = torch.from_numpy(
+            im[..., ::-1].astype(np.float32).transpose(2, 0, 1)[None] / 255.0)
+        with torch.no_grad():
+            pred = tmodel(x)[0]
+        det = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.7,
+                                  max_det=8)[0]
+        det[:, :4] = scale_boxes(im.shape[:2], det[:, :4], im0.shape[:2])
+        h0, w0 = im0.shape[:2]
         lines = []
-        for _ in range(int(rng.integers(1, 5))):
-            bw, bh = rng.uniform(0.1, 0.4, 2)
-            cx = rng.uniform(bw / 2, 1 - bw / 2)
-            cy = rng.uniform(bh / 2, 1 - bh / 2)
-            cls = int(rng.integers(0, 3))
-            lines.append(f"{cls} {cx:.4f} {cy:.4f} {bw:.4f} {bh:.4f}")
-        (root / "val" / "labels" / f"{i}.txt").write_text("\n".join(lines))
+        for *xyxy, conf, cls in det.numpy():
+            x1, y1, x2, y2 = xyxy
+            cx, cy = (x1 + x2) / 2 / w0, (y1 + y2) / 2 / h0
+            bw, bh = (x2 - x1) / w0, (y2 - y1) / h0
+            if bw > 0.01 and bh > 0.01:
+                lines.append(f"{int(cls)} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
+        n_boxes += len(lines)
+        (root / "val" / "labels" / f"{f.stem}.txt").write_text("\n".join(lines))
     (root / "data.yaml").write_text(
         f"path: {root}\ntrain: val/images\nval: val/images\nnc: 80\n"
         "names:\n" + "\n".join(f"  {i}: c{i}" for i in range(80)) + "\n")
+    assert n_boxes >= 64, f"calibrated model produced too few boxes ({n_boxes})"
     return root
 
 
@@ -82,11 +126,17 @@ def _calibrated_torch_model(cfg_path, sample_imgs):
         tmodel(torch.from_numpy(sample_imgs))
     tmodel.eval()
     nc_t = tmodel.yaml.get("nc", 80) if hasattr(tmodel, "yaml") else 80
+    # lift cls logits into the detectable range AND give each class a
+    # decisively different offset — a uniform +5.0 leaves all 80 classes in
+    # a knife-edge tie, so predicted classes flip under 1e-7 noise (e.g.
+    # conv+bn fusion) and class-matched TP parity becomes a coin toss
+    gen = torch.Generator().manual_seed(23)
+    offsets = 5.0 + 2.0 * torch.rand(nc_t, generator=gen)
     with torch.no_grad():
         for m in tmodel.modules():
             if (isinstance(m, torch.nn.Conv2d) and m.out_channels == nc_t
                     and m.bias is not None):
-                m.bias += 5.0
+                m.bias += offsets
     return tmodel
 
 
@@ -96,7 +146,7 @@ def _calibrated_torch_model(cfg_path, sample_imgs):
     # torch -> ~1e-3 confidence noise can flip knife-edge TP matches
     ("z-yaml/yolo11-701-YOLO-AD-Refine.yaml", 3e-3),
 ])
-def test_fullval_map_parity(dataset, cfg, tol):
+def test_fullval_map_parity(images, cfg, tol, tmp_path):
     import cv2
     import torch
 
@@ -109,15 +159,17 @@ def test_fullval_map_parity(dataset, cfg, tol):
 
     imgsz = 320
 
-    # calibration batch: first 4 val images, letterboxed like val-time
+    # calibration batch: first 4 images, letterboxed like val-time
     imgs = []
     for i in range(4):
-        im0 = cv2.imread(str(dataset / "val" / "images" / f"{i}.jpg"))
+        im0 = cv2.imread(str(images / f"{i}.jpg"))
         im, _, _ = letterbox(im0, imgsz, scaleup=False)
         imgs.append(im[..., ::-1].astype(np.float32) / 255.0)
     sample = np.stack(imgs).transpose(0, 3, 1, 2).copy()
 
     tmodel = _calibrated_torch_model(cfg, sample)
+    # labels = this model's own detections -> meaningfully high mAP
+    dataset = _label_from_torch_predictions(tmodel, images, tmp_path, imgsz)
     # snapshot BEFORE torch val: the reference validator fuses conv+bn in
     # place (engine/validator.py model.fuse()), which would leave a
     # bias-carrying BN-free state dict that cannot transplant

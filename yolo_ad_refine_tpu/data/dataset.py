@@ -14,6 +14,7 @@ data.yaml validation). Differences, TPU-first:
 from __future__ import annotations
 
 import hashlib
+import math
 from pathlib import Path
 
 import cv2
@@ -253,8 +254,12 @@ class YOLODataset:
         h0, w0 = im.shape[:2]
         r = self.imgsz / max(h0, w0)
         if r != 1:
-            im = cv2.resize(im, (min(int(w0 * r), self.imgsz), min(int(h0 * r), self.imgsz)),
-                            interpolation=cv2.INTER_LINEAR)
+            # ceil, not floor: reference base.py:171 — a 1px size difference
+            # shifts every downstream pixel and moves mAP
+            im = cv2.resize(
+                im,
+                (min(math.ceil(w0 * r), self.imgsz), min(math.ceil(h0 * r), self.imgsz)),
+                interpolation=cv2.INTER_LINEAR)
         if self.cache_images == "ram":
             self._ram[i] = (im.copy(), (h0, w0))
         elif self.cache_images == "disk" and npy is not None:

@@ -376,7 +376,7 @@ def _adaptive_pool_matrix(size_in: int, size_out: int) -> np.ndarray:
     Shapes are static under jit so this runs at trace time; pooling becomes a
     dense matmul, which maps cleanly onto the MXU.
     """
-    m = np.zeros((size_out, size_in), dtype=np.float32)
+    m = np.zeros((size_out, size_in), dtype=np.float64)
     for i in range(size_out):
         s = (i * size_in) // size_out
         e = -(-((i + 1) * size_in) // size_out)  # ceil
@@ -564,7 +564,17 @@ class MLCA(nn.Module):
         y_global = conv_global(seq_global).reshape(bsz, 1, 1, c)
 
         att_local = nn.sigmoid(y_local)
-        att_global = jnp.broadcast_to(nn.sigmoid(y_global), att_local.shape)
+        # Reference block.py:1576-1581 un-pools the global branch through
+        # `y_global.view(b,-1).transpose(-1,-2).unsqueeze(-1)` -> shape
+        # (c, b, 1), which adaptive_avg_pool2d reads as (C=c, H=b, W=1):
+        # spatial row i of the 5x5 attention gets the mean of BATCH segment i
+        # (a batch-mixing artifact of the upstream code; for b=1 it reduces
+        # to a plain broadcast). Reproduced exactly — training parity means
+        # matching the reference's dynamics, artifact included.
+        sig = nn.sigmoid(y_global).reshape(bsz, c)
+        seg = jnp.asarray(_adaptive_pool_matrix(bsz, ls), x.dtype)  # (ls, b)
+        att_g = jnp.einsum("ib,bc->ic", seg, sig)                   # (ls, c)
+        att_global = jnp.broadcast_to(att_g[None, :, None, :], att_local.shape)
         att = att_global * (1 - self.local_weight) + att_local * self.local_weight
         att = adaptive_avg_pool2d(att, (h, w))
         return x * att
@@ -668,7 +678,7 @@ def _interp_matrix_align_corners(size_in: int, size_out: int) -> np.ndarray:
     upsampling becomes two dense matmuls riding the MXU (like the adaptive
     pool above) instead of a gather.
     """
-    m = np.zeros((size_out, size_in), dtype=np.float32)
+    m = np.zeros((size_out, size_in), dtype=np.float64)
     if size_out == 1:
         m[0, 0] = 1.0
         return m
