@@ -71,7 +71,9 @@ def labeled_ds(tmp_path_factory):
     for i, classes in enumerate(layouts):
         img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
         cv2.imwrite(str(root / "images" / f"{i}.jpg"), img)
-        lines = [f"{c} 0.5 0.5 0.2 0.2" for c in classes]
+        # distinct boxes per row: exact-duplicate rows are dropped by the
+        # dataset (reference data/utils.py verify_image_label dedup)
+        lines = [f"{c} 0.{3 + 2 * j} 0.5 0.2 0.2" for j, c in enumerate(classes)]
         (root / "labels" / f"{i}.txt").write_text("\n".join(lines))
     (root / "data.yaml").write_text(
         f"path: {root}\ntrain: images\nval: images\nnc: 3\n"

@@ -180,30 +180,57 @@ def test_gradients_match_torch(stacks):
     t_flat = flatten_dict(t_tree["params"])
     j_flat = flatten_dict(grads)
     assert set(t_flat) == set(j_flat)
+    # noise floor: leaves whose gradient is >7 orders below the global max
+    # (e.g. conv biases behind a 0.1-weighted residual + tanh saturation,
+    # |g|~1e-8 vs global 11.6) are fp32 cancellation noise in BOTH stacks —
+    # verified by an f64 run: real semantic bugs (a mis-imported square
+    # kernel) persist across precision, noise-floor leaves do not matter.
+    global_max = max(float(np.abs(np.asarray(v)).max()) for v in t_flat.values())
     bad = []
     checked = 0
     for path in j_flat:
         g_t = np.asarray(t_flat[path], np.float32)
         g_j = np.asarray(j_flat[path], np.float32)
         scale = max(np.abs(g_t).max(), np.abs(g_j).max(), 1e-6)
-        err = np.abs(g_j - g_t).max() / scale
+        diff = np.abs(g_j - g_t).max()
         checked += 1
-        if err > 5e-3:
-            bad.append(("/".join(path), float(err)))
+        if diff > 5e-3 * scale + 1e-7 * global_max:
+            bad.append(("/".join(path), float(diff / scale)))
     assert checked > 300  # the flagship has hundreds of parameter leaves
     # fp32 op-order noise (FFT filter, DCN bilinear) allows a tiny tail
     assert len(bad) <= max(2, 0.01 * checked), bad[:10]
 
 
 def test_k_step_update_parity(stacks):
+    """3 full SGD(momentum, nesterov) steps -> parameter DELTAS must agree.
+
+    lr is deliberately SMALL (1e-4, not the training 0.01): at lr=0.01 a
+    random-init flagship moves ~0.1 per step on a landscape whose TAL
+    assigner is discontinuous, so 1e-6 cross-stack fp noise flips
+    assignments and the trajectories diverge CHAOTICALLY (measured: 274/364
+    leaves off by up to 0.7 after 3 steps) — in both stacks, about each
+    other. That divergence carries no information about semantics. In the
+    linear regime the delta p_K - p_0 isolates exactly what this test is
+    for: a wrong momentum/nesterov formula, accumulation bug, or BN-stat
+    mishandling shows up as an O(1) relative delta error, while fp noise
+    stays at the grad-parity floor."""
     import jax
-    import jax.numpy as jnp
     import optax
     import torch
 
     tmodel, ours, img, targets, snapshot = stacks
     tmodel.load_state_dict(snapshot)
-    lr, mom = 0.01, 0.9
+    lr, mom = 1e-4, 0.9
+
+    from yolo_ad_refine_tpu.utils.torch_import import import_torch_state_dict
+
+    from flax.traverse_util import flatten_dict
+
+    zeros = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)),
+                         ours.variables)
+    p0 = flatten_dict(import_torch_state_dict(
+        tmodel.state_dict(), zeros, strict=True,
+        deconv_layers=ours.deconv_layer_indices)["params"])
 
     opt = torch.optim.SGD(tmodel.parameters(), lr=lr, momentum=mom,
                           nesterov=True)
@@ -223,25 +250,24 @@ def test_k_step_update_parity(stacks):
         params = optax.apply_updates(params, updates)
         stats = new_stats
 
-    from yolo_ad_refine_tpu.utils.torch_import import import_torch_state_dict
-
-    zeros = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)),
-                         ours.variables)
     t_tree = import_torch_state_dict(tmodel.state_dict(), zeros, strict=True,
                                      deconv_layers=ours.deconv_layer_indices)
 
-    from flax.traverse_util import flatten_dict
-
     t_flat = flatten_dict(t_tree["params"])
     j_flat = flatten_dict(params)
+    d_global = max(
+        float(np.abs(np.asarray(t_flat[p], np.float32)
+                     - np.asarray(p0[p], np.float32)).max())
+        for p in t_flat)
     bad = []
     for path in j_flat:
-        a = np.asarray(t_flat[path], np.float32)
-        b = np.asarray(j_flat[path], np.float32)
-        scale = max(np.abs(a).max(), 1e-6)
-        err = np.abs(a - b).max() / scale
-        if err > 1e-3:
-            bad.append(("/".join(path), float(err)))
+        d_t = np.asarray(t_flat[path], np.float32) - np.asarray(p0[path], np.float32)
+        d_j = np.asarray(j_flat[path], np.float32) - np.asarray(p0[path], np.float32)
+        scale = max(np.abs(d_t).max(), np.abs(d_j).max(), 1e-9)
+        diff = np.abs(d_j - d_t).max()
+        # same noise-floor shape as the grad test, over 3 accumulated steps
+        if diff > 2e-2 * scale + 1e-6 * d_global:
+            bad.append(("/".join(path), float(diff / scale)))
     assert len(bad) <= max(2, 0.01 * len(j_flat)), bad[:10]
 
     # BN running stats agree too (torch momentum 0.03 == flax 0.97)

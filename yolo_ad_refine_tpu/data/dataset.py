@@ -204,6 +204,24 @@ class YOLODataset:
                     rows[:, 1:] = rows[:, 1:].clip(0, 1)
             else:
                 n_missing += 1
+            # drop exact-duplicate rows (reference data/utils.py:143-148
+            # verify_image_label) — keeps first occurrence, original order
+            if len(rows) > 1:
+                key = rows
+                if kpts is not None:
+                    key = np.concatenate([rows, kpts.reshape(len(rows), -1)], 1)
+                elif corners is not None:
+                    key = np.concatenate([rows, corners.reshape(len(rows), -1)], 1)
+                _, keep = np.unique(key, axis=0, return_index=True)
+                if len(keep) < len(rows):
+                    keep = np.sort(keep)
+                    rows = rows[keep]
+                    if kpts is not None:
+                        kpts = kpts[keep]
+                    if corners is not None:
+                        corners = corners[keep]
+                    if segments:
+                        segments = [segments[k] for k in keep]
             lab = {"cls": rows[:, 0], "xywhn": rows[:, 1:5]}
             if segment_task:
                 lab["segments"] = segments

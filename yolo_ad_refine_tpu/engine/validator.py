@@ -60,6 +60,10 @@ class DetectionValidator:
         conf = args.get("conf") or 0.001
         iou = float(args.get("iou", 0.7))
         max_det = int(args.get("max_det", 300))
+        # pre-NMS candidate cap. The reference truncates at 30000
+        # (utils/ops.py:281); 2048 is the TPU-friendly default (static
+        # top_k), raise it via args for reference-exact candidate sets.
+        max_nms = int(args.get("max_nms", 2048))
         nc = model.nc
 
         dataloader = dataloader or self.dataloader
@@ -115,7 +119,7 @@ class DetectionValidator:
                 return det, cnt, jnp.zeros((*det.shape[:2], 0), det.dtype), feats
             det, cnt, _extra = non_max_suppression(
                 y, conf_thres=float(conf), iou_thres=iou, max_det=max_det,
-                multi_label=True, nc=nc, rotated=rotated,
+                max_nms=max_nms, multi_label=True, nc=nc, rotated=rotated,
             )
             return det, cnt, _extra, feats
 

@@ -21,6 +21,8 @@ import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
+from yolo_ad_refine_tpu.nn.common import BatchNorm
+
 from yolo_ad_refine_tpu.models.sam.modules import LayerNorm2d
 
 Dtype = Any
@@ -41,7 +43,7 @@ class ConvBN(nn.Module):
         x = nn.Conv(self.out, (self.k, self.k), strides=(self.s, self.s),
                     padding=self.p, feature_group_count=self.groups,
                     use_bias=False, dtype=self.dtype, name="c")(x)
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        return BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, dtype=self.dtype, name="bn")(x)
 
 

@@ -20,6 +20,8 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+from yolo_ad_refine_tpu.nn.common import BatchNorm
+
 from yolo_ad_refine_tpu.nn.registry import register
 
 Dtype = Any
@@ -85,8 +87,8 @@ class _AttentionGate(nn.Module):
             [x.max(axis=-1, keepdims=True), x.mean(axis=-1, keepdims=True)], -1)
         z = nn.Conv(1, (7, 7), padding=3, use_bias=False, dtype=self.dtype,
                     name="conv")(z)
-        z = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-5, dtype=self.dtype, name="bn")(z)
+        z = BatchNorm(use_running_average=not train,
+                         dtype=self.dtype, name="bn")(z)
         return x * nn.sigmoid(z)
 
 

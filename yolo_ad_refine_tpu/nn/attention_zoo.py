@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolo_ad_refine_tpu.nn.common import Conv, autopad
+from yolo_ad_refine_tpu.nn.common import BatchNorm, Conv, autopad
 from yolo_ad_refine_tpu.nn.registry import register
 from yolo_ad_refine_tpu.ops.deform import _bilinear_sample
 
@@ -142,7 +142,7 @@ class MPCA(nn.Module):
                 x = nn.Conv(c, (kh, kw),
                             padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
                             use_bias=False, dtype=self.dtype, name="conv")(x)
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                x = BatchNorm(use_running_average=not train, momentum=0.97,
                                  epsilon=1e-3, dtype=self.dtype, name="bn")(x)
                 return nn.silu(x)
 
@@ -214,8 +214,10 @@ class _BAMChannel(nn.Module):
         for i in range(self.num_layers - 1):
             v = nn.Dense(c // self.reduction, dtype=self.dtype,
                          name=f"fc{i}")(v)
-            v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=self.dtype, name=f"bn{i}")(v)
+            # reference uses BatchNorm1d here, which initialize_weights
+            # does NOT override -> torch defaults eps=1e-5 / momentum=0.1
+            v = BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype, name=f"bn{i}")(v)
             v = nn.relu(v)
         v = nn.Dense(c, dtype=self.dtype, name="last_fc")(v)
         return v[:, None, None, :]
@@ -232,7 +234,7 @@ class _BAMSpatial(nn.Module):
         c = x.shape[-1]
         cr = c // self.reduction
         v = nn.Conv(cr, (1, 1), dtype=self.dtype, name="conv_reduce1")(x)
-        v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        v = BatchNorm(use_running_average=not train,
                          dtype=self.dtype, name="bn_reduce1")(v)
         v = nn.relu(v)
         p = autopad(3, None, self.dia_val)
@@ -240,7 +242,7 @@ class _BAMSpatial(nn.Module):
             v = nn.Conv(cr, (3, 3), padding=[(p, p), (p, p)],
                         kernel_dilation=(self.dia_val, self.dia_val),
                         dtype=self.dtype, name=f"conv_{i}")(v)
-            v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            v = BatchNorm(use_running_average=not train,
                              dtype=self.dtype, name=f"bn_{i}")(v)
             v = nn.relu(v)
         return nn.Conv(1, (1, 1), dtype=self.dtype, name="last_conv")(v)
@@ -679,8 +681,8 @@ class _Conv2dBN(nn.Module):
         x = nn.Conv(self.c2, (self.k, self.k), padding=[(p, p), (p, p)],
                     feature_group_count=self.g, use_bias=False,
                     dtype=self.dtype, name="c")(x)
-        return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        return BatchNorm(
+            use_running_average=not train,
             scale_init=nn.initializers.constant(self.bn_weight_init),
             dtype=self.dtype, name="bn")(x)
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from yolo_ad_refine_tpu.nn.common import Conv, max_pool_same, silu
+from yolo_ad_refine_tpu.nn.common import BatchNorm, Conv, max_pool_same, silu
 from yolo_ad_refine_tpu.nn.registry import register
 
 Dtype = Any
@@ -338,7 +338,7 @@ class RepConv(nn.Module):
         y2 = Conv(self.c2, 1, self.s, act=False, dtype=self.dtype, name="conv2")(x, train)
         y = y1 + y2
         if self.identity_bn and x.shape[-1] == self.c2 and self.s == 1:
-            y = y + nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            y = y + BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                                  dtype=self.dtype, name="bn")(x)
         return silu(y)
 

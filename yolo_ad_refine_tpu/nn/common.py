@@ -24,6 +24,31 @@ from yolo_ad_refine_tpu.nn.registry import register
 Dtype = Any
 
 
+class BatchNorm(nn.BatchNorm):
+    """flax BatchNorm with the reference's in-model semantics.
+
+    Two departures from flax defaults, both required for cross-stack parity:
+
+    - ``use_fast_variance=False``: flax's default computes E[x^2]-E[x]^2,
+      which catastrophically cancels in f32 whenever the activation mean
+      rivals its std — measured 6.6e-6 relative error vs torch per layer in
+      train mode, compounding to ~5e-4 ten blocks deep. torch normalizes
+      with the two-pass variance.
+    - ``epsilon=1e-3`` / ``momentum=0.97``: the reference's
+      ``initialize_weights`` (torch_utils.py:426-436) overrides EVERY
+      ``nn.BatchNorm2d`` in a built model to eps=1e-3 / torch-momentum=0.03,
+      regardless of what the module constructor asked for. Matching the
+      constructor defaults instead produces a ~5e-4 eval-forward divergence
+      per BN (Δeps/(2·var)). Modules that do NOT pass through
+      initialize_weights (SAM family, BatchNorm1d equivalents) must pass
+      explicit epsilon/momentum.
+    """
+
+    use_fast_variance: bool = False
+    momentum: float = 0.97
+    epsilon: float = 1e-3
+
+
 def autopad(k: int, p: int | None = None, d: int = 1) -> int:
     """'same'-shape padding for odd kernels, matching reference conv.py:20."""
     if d > 1:
@@ -97,7 +122,7 @@ class Conv(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
         )(x)
         fn = _resolve_act(self.act)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolo_ad_refine_tpu.nn.block import Attention, C2f
-from yolo_ad_refine_tpu.nn.common import Conv, DWConv, autopad, silu
+from yolo_ad_refine_tpu.nn.common import BatchNorm, Conv, DWConv, autopad, silu
 from yolo_ad_refine_tpu.nn.registry import register
 
 Dtype = Any
@@ -49,7 +49,7 @@ class Conv2(nn.Module):
         y = y + nn.Conv(self.c2, (1, 1), strides=(self.s, self.s), padding="VALID",
                         feature_group_count=self.g, use_bias=False,
                         dtype=self.dtype, name="cv2")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype, name="bn")(y)
         return silu(y) if self.act is True else y
 
@@ -133,7 +133,7 @@ class RepConv(nn.Module):
         y = y + Conv(self.c2, 1, self.s, p=0, g=self.g, act=False, dtype=self.dtype,
                      name="conv2")(x, train)
         if self.use_bn_identity and x.shape[-1] == self.c2 and self.s == 1:
-            y = y + nn.BatchNorm(use_running_average=not train, momentum=0.97,
+            y = y + BatchNorm(use_running_average=not train, momentum=0.97,
                                  epsilon=1e-3, dtype=self.dtype, name="bn")(x)
         return silu(y) if self.act is True else y
 

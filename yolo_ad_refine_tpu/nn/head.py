@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from yolo_ad_refine_tpu.nn.common import Conv, ConvGN, DWConv, conv2d, dfl_decode, hardswish, silu
+from yolo_ad_refine_tpu.nn.common import BatchNorm, Conv, ConvGN, DWConv, conv2d, dfl_decode, hardswish, silu
 from yolo_ad_refine_tpu.nn.registry import register
 from yolo_ad_refine_tpu.ops.anchors import dist2bbox, make_anchors
 from yolo_ad_refine_tpu.ops.deform import modulated_deform_conv2d
@@ -201,8 +201,8 @@ class WorldDetect(nn.Module):
             e32 = e.astype(jnp.float32)
             if self.with_bn:
                 # BNContrastiveHead: batch norm REPLACES image-side L2 norm
-                e32 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                   epsilon=1e-5, dtype=jnp.float32,
+                e32 = BatchNorm(use_running_average=not train,
+                                   dtype=jnp.float32,
                                    name=f"cv4_{i}_norm")(e32)
                 ls_init = -1.0
             else:
@@ -447,7 +447,7 @@ class CoordAtt(nn.Module):
         x_w = jnp.mean(x, axis=1, keepdims=True).transpose(0, 2, 1, 3)  # (b, w, 1, c)
         y = jnp.concatenate([x_h, x_w], axis=1)  # (b, h+w, 1, c)
         y = conv2d(y, mip, 1, dtype=self.dtype, name="conv1")
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        y = BatchNorm(use_running_average=not train,
                          dtype=self.dtype, name="bn1")(y)
         y = hardswish(y)
         y_h, y_w = y[:, :h], y[:, h:]
@@ -520,6 +520,14 @@ class DyDCNv2(nn.Module):
             )
 
             y = modulated_deform_conv2d_mxu(
+                x, offset, mask, weight.astype(x.dtype), int(self.radius)
+            )
+        elif impl == "mxu2":
+            from yolo_ad_refine_tpu.ops.deform_mxu2 import (
+                modulated_deform_conv2d_mxu2,
+            )
+
+            y = modulated_deform_conv2d_mxu2(
                 x, offset, mask, weight.astype(x.dtype), int(self.radius)
             )
         elif impl == "pallas":

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolo_ad_refine_tpu.nn.common import Conv
+from yolo_ad_refine_tpu.nn.common import BatchNorm, Conv
 from yolo_ad_refine_tpu.nn.registry import register
 from yolo_ad_refine_tpu.ops.deform import _bilinear_sample
 
@@ -261,7 +261,7 @@ class RTDETRDecoder(nn.Module):
         for i, x in enumerate(xs):
             p = nn.Conv(self.hd, (1, 1), use_bias=False, dtype=self.dtype,
                         name=f"input_proj_{i}_0")(x)
-            p = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            p = BatchNorm(use_running_average=not train,
                              dtype=self.dtype, name=f"input_proj_{i}_1")(p)
             h, w = p.shape[1], p.shape[2]
             feats_list.append(p.reshape(b, h * w, self.hd))

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolo_ad_refine_tpu.nn.block import C2PSA, adaptive_avg_pool2d
-from yolo_ad_refine_tpu.nn.common import conv2d
+from yolo_ad_refine_tpu.nn.common import BatchNorm, conv2d
 from yolo_ad_refine_tpu.nn.registry import register
 
 Dtype = Any
@@ -294,7 +294,7 @@ class ProgressiveFeatureFusion(nn.Module):
         current = x
         for i in range(self.num_stages):
             p = conv2d(current, c, 3, p=1, g=c, dtype=self.dtype, name=f"stages_{i}_conv")
-            p = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            p = BatchNorm(use_running_average=not train,
                              dtype=self.dtype, name=f"stages_{i}_norm")(p)
             p = gelu_exact(p)
             ch_mix = conv2d(p, c, 1, dtype=self.dtype, name=f"stages_{i}_channel_mix")

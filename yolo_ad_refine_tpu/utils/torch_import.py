@@ -273,13 +273,24 @@ def import_torch_state_dict(state_dict: dict, variables: dict, strict: bool = Tr
                 wv = wv.transpose(2, 3, 1, 0)  # OIHW -> HWIO
         elif wv.ndim == 3 and wv.shape != tuple(target.shape):
             wv = wv.transpose(2, 1, 0)  # Conv1d (O, I, K) -> (K, I, O)
+        elif wv.ndim == 2 and path[-1] == "kernel" and tname.endswith(".weight"):
+            # Linear (O, I) -> Dense kernel (I, O). Unconditional: a shape
+            # test cannot disambiguate SQUARE weights, and an untransposed
+            # square kernel is a silent wrong-function bug (caught on the
+            # flagship's attention to_out: forward nearly masked by the
+            # bias, gradients through the block 100% wrong).
+            wv = wv.transpose(1, 0)
         elif wv.ndim == 2 and wv.shape != tuple(target.shape):
             wv = wv.transpose(1, 0)
         if wv.shape != tuple(target.shape):
             missing.append(f"shape mismatch {tname} -> {'/'.join(path)}: "
                            f"{wv.shape} vs {tuple(target.shape)}")
             return
-        new[coll][path] = jax.numpy.asarray(wv, dtype=target.dtype)
+        # jnp.array (copy=True), NOT asarray: jax CPU zero-copies aligned
+        # numpy arrays, and np.asarray(torch_tensor) shares torch storage —
+        # asarray would alias the live torch parameter, so a later in-place
+        # torch opt.step() silently mutates the "imported" jax weights
+        new[coll][path] = jax.numpy.array(wv, dtype=target.dtype)
         used.add((coll, path))
 
     for tname, w in state_dict.items():
@@ -289,7 +300,7 @@ def import_torch_state_dict(state_dict: dict, variables: dict, strict: bool = Tr
         if special:
             for path, arr in special.items():
                 target = flat["params"][path]
-                new["params"][path] = jax.numpy.asarray(arr, dtype=target.dtype)
+                new["params"][path] = jax.numpy.array(arr, dtype=target.dtype)
                 used.add(("params", path))
             continue
         path, coll = translate_name(tname)
