@@ -101,9 +101,39 @@ def bench_train_step(model):
     return (time.perf_counter() - t0) / TRAIN_ITERS * 1000
 
 
+def _arm_backend_watchdog(seconds: int = 900):
+    """Fail LOUDLY (one parseable JSON line) if device init wedges.
+
+    The axon PJRT plugin's claim leg waits forever (claim_timeout_s=-1); a
+    stale claim from a killed process makes ``jax.devices()`` block
+    indefinitely. A silent hang leaves the driver with no artifact at all —
+    a zero-valued record with an error note is the honest alternative.
+    """
+    import signal
+
+    def _bail(signum, frame):
+        print(json.dumps({
+            "metric": "flagship_640_bs32_infer_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": None,
+            "extra": {"error": f"device backend init exceeded {seconds}s "
+                               "(axon claim wedged?) — no measurement taken"},
+        }), flush=True)
+        raise SystemExit(3)
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(seconds)
+    return signal
+
+
 def main():
     from yolo_ad_refine_tpu.models.model import build_detection_model
     from yolo_ad_refine_tpu.utils import ROOT
+
+    sig = _arm_backend_watchdog()
+    jax.devices()  # force backend init under the watchdog
+    sig.alarm(0)
 
     t_init = time.perf_counter()
     # init at 256 (params are shape-independent) to avoid a second giant

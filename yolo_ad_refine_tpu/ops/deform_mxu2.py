@@ -1,0 +1,368 @@
+"""x-tiled fused-bilinear MXU kernel for modulated deformable conv (DCNv2).
+
+Fourth-generation TPU implementation of the op behind the reference's
+``mmcv.ops.ModulatedDeformConv2d`` (reference head.py:751-782), superseding
+``ops/deform_mxu.py`` (kept as fallback). Two structural changes over v3:
+
+1. **Fused bilinear matrix.** v3 contracted x and y separately: per tap,
+   d_win matmuls of (P, Wp) @ (Wp, C), each with K=Wp~86 and N=C=64 — both
+   under the 128x128 MXU tile, ~34% utilization, plus a VPU accumulation
+   per window row. Here the two hat-weight vectors fuse into ONE banded
+   matrix W2(p, (d, j)) = wy(p, d) * wx(p, j) * m(p), and the whole
+   bilinear sample is a single (P, d_win*Wp) @ (d_win*Wp, C) matmul:
+   identical FLOPs, K >= 512 (full systolic streaming), one dispatch.
+
+2. **x-tiling.** The bilinear support is only +/-(radius+2) columns wide,
+   so contracting over the full row width W wastes W/(2r+4)x FLOPs. The
+   input is restacked on the host into overlapping column slabs of
+   Wp = TW + 2s (rounded to a sublane multiple); each (CH x TW) output
+   tile contracts over a (CH+2r+2) x Wp window. At CH=8, TW=16, r=3:
+   P = 128 (exactly one M tile), K = 16*32 = 512, FLOPs drop 2.7x vs the
+   full-width form on an 80-wide level.
+
+Layout discipline (the part that makes it fast — Mosaic relayouts are real
+copies): W2 is built TRANSPOSED, (L, P) with P=128 on the lane dimension,
+as an outer product of wyT (d_win, P) and wxT (Wp, P); collapsing
+(d_win, Wp, P) -> (L, P) merges leading dims over an 8-aligned sublane dim
+and is free. The same is true for the X window (d_win, Wp, C) -> (L, C).
+Every gradient is likewise one matmul per tap:
+
+    sampled_t = W2T^T @ Xwin                      (P, C)    K = L
+    dXwin_t   = W2T @ (m * gs_t)                  (L, C)    K = P
+    dW2T_t    = Xwin @ (m * gs_t)^T               (L, P)    K = C
+    dw_t      = (m * sampled_t)^T @ g             (C, Cout) K = P
+
+with the banded contractions back to dwy/dwx (65k FMAs each) on the VPU.
+
+Semantics: exact bilinear sampling with mmcv zero-outside padding whenever
+|offset| <= radius; offsets are clipped to +/-radius first (same contract
+as ops/deform_pallas.py; agreement with the exact gather asserted in
+tests/test_dcn_mxu.py). x (B, H, W, C) NHWC, offset (B, H, W, 18) with
+(dy, dx) pairs in row-major tap order, mask (B, H, W, 9) post-sigmoid,
+weight (3, 3, C, Cout) HWIO. Stride 1 / pad 1 / dilation 1 (the AYHead
+configuration).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K = 3
+KK = K * K
+CH = int(os.environ.get("YAT_MXU2_CH", "8"))    # output rows per chunk
+TW = int(os.environ.get("YAT_MXU2_TW", "16"))   # output cols per x-tile
+
+
+def _hat(u):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u))
+
+
+def _dhat(u):
+    return jnp.where(jnp.abs(u) < 1.0, -jnp.sign(u), 0.0)
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, tw, s,
+                radius, cout, ch):
+    """One (image, x-tile). xs (1, 1, Hc+2s, Wp, C), off (1, 1, Hc, TW, 18)
+    f32, mask (1, 1, Hc, TW, 9) f32, w (KK*C, Cout), out (1, 1, Hc, TW, Cout)."""
+    c = xs_ref.shape[-1]
+    wp = xs_ref.shape[-2]
+    d_win = ch + 2 * radius + 2
+    p = ch * tw
+
+    # transposed iotas: lane dim = p everywhere
+    x_of_pT = jax.lax.broadcasted_iota(
+        jnp.int32, (1, ch, tw), 2).astype(jnp.float32).reshape(1, p)
+    y_of_pT = jax.lax.broadcasted_iota(
+        jnp.int32, (1, ch, tw), 1).astype(jnp.float32).reshape(1, p)
+    j_T = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0).astype(jnp.float32)
+    d_T = jax.lax.broadcasted_iota(jnp.int32, (d_win, 1), 0).astype(jnp.float32)
+
+    def chunk_body(ci, _):
+        y0 = ci * ch
+        off = off_ref[0, 0, pl.ds(y0, ch), :, :]              # (CH, TW, 18)
+        msk = mask_ref[0, 0, pl.ds(y0, ch), :, :]             # (CH, TW, 9)
+        cols = []
+        for t in range(KK):
+            ty, tx = t // K - 1, t % K - 1
+            offyT = off[:, :, 2 * t].reshape(1, p)
+            offxT = off[:, :, 2 * t + 1].reshape(1, p)
+            mT = msk[:, :, t].reshape(1, p)
+
+            # wxT[j, p] = hat(offx + tx + s + x(p) - j); fold the mask here
+            wxT = _hat(offxT + (tx + s) + x_of_pT - j_T) * mT  # (Wp, P)
+            ayT = offyT + y_of_pT + float(radius + 1)          # (1, P)
+            wyT = _hat(ayT - d_T)                              # (d_win, P)
+            w2T = (wyT[:, None, :] * wxT[None, :, :]).reshape(d_win * wp, p)
+
+            base = y0 + ty + (s - radius - 1)
+            xwin = xs_ref[0, 0, pl.ds(base, d_win), :, :].reshape(d_win * wp, c)
+            cols.append(jax.lax.dot_general(
+                w2T.astype(xs_ref.dtype), xwin,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))           # (P, C)
+        sampled = jnp.concatenate(cols, axis=-1)               # (P, KK*C)
+        out = jax.lax.dot_general(
+            sampled.astype(w_ref.dtype), w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (P, Cout)
+        out_ref[0, 0, pl.ds(y0, ch), :, :] = out.reshape(ch, tw, cout).astype(
+            out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, hc // ch, chunk_body, 0, unroll=False)
+
+
+def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
+                dxs_ref, doff_ref, dmask_ref, dw_ref, *, hc, tw, s,
+                radius, cout, ch):
+    """Gradients for one (image, x-tile); every heavy term is one matmul.
+    g (1, 1, Hc, TW, Cout) f32. Outputs: dxs (1, 1, Hc+2s, Wp, C) f32,
+    doff (1, 1, Hc, TW, 18) f32, dmask (1, 1, Hc, TW, 9) f32,
+    dw (1, 1, KK*C, Cout) f32."""
+    c = xs_ref.shape[-1]
+    wp = xs_ref.shape[-2]
+    d_win = ch + 2 * radius + 2
+    p = ch * tw
+
+    dxs_ref[0, 0, :, :, :] = jnp.zeros(
+        (xs_ref.shape[2], wp, c), jnp.float32)
+    dw_ref[0, 0, :, :] = jnp.zeros((KK * c, cout), jnp.float32)
+
+    x_of_pT = jax.lax.broadcasted_iota(
+        jnp.int32, (1, ch, tw), 2).astype(jnp.float32).reshape(1, p)
+    y_of_pT = jax.lax.broadcasted_iota(
+        jnp.int32, (1, ch, tw), 1).astype(jnp.float32).reshape(1, p)
+    j_T = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0).astype(jnp.float32)
+    d_T = jax.lax.broadcasted_iota(jnp.int32, (d_win, 1), 0).astype(jnp.float32)
+
+    def chunk_body(ci, _):
+        y0 = ci * ch
+        off = off_ref[0, 0, pl.ds(y0, ch), :, :]
+        msk = mask_ref[0, 0, pl.ds(y0, ch), :, :]
+        gflat = g_ref[0, 0, pl.ds(y0, ch), :, :].reshape(p, cout)
+        # g through the conv weight for ALL taps at once: (P, KK*C)
+        gs_all = jax.lax.dot_general(
+            gflat, w_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        doff_cols = []
+        dmask_cols = []
+        for t in range(KK):
+            ty, tx = t // K - 1, t % K - 1
+            offyT = off[:, :, 2 * t].reshape(1, p)
+            offxT = off[:, :, 2 * t + 1].reshape(1, p)
+            mT = msk[:, :, t].reshape(1, p)
+
+            uxT = offxT + (tx + s) + x_of_pT - j_T             # (Wp, P)
+            wxT = _hat(uxT)
+            ayT = offyT + y_of_pT + float(radius + 1)
+            adT = ayT - d_T                                    # (d_win, P)
+            wyT = _hat(adT)
+            w2T = (wyT[:, None, :] * wxT[None, :, :]).reshape(d_win * wp, p)
+
+            base = y0 + ty + (s - radius - 1)
+            xwin = xs_ref[0, 0, pl.ds(base, d_win), :, :].astype(
+                jnp.float32).reshape(d_win * wp, c)
+
+            # pre-mask sample, needed by dmask and dw
+            sampled = jax.lax.dot_general(
+                w2T, xwin,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (P, C)
+            gs = gs_all[:, t * c : (t + 1) * c]                # (P, C)
+            gsm = gs * mT.reshape(p, 1)
+
+            # dX window: W2T @ (m * gs) — masked wx NOT folded into w2T here,
+            # so fold the mask into gsm (identical algebra)
+            dxw = jax.lax.dot_general(
+                w2T, gsm,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (L, C)
+            dxs_ref[0, 0, pl.ds(base, d_win), :, :] += dxw.reshape(d_win, wp, c)
+
+            # dW2T = Xwin @ gsm^T, then band-contract back to wy/wx grads
+            dw2T = jax.lax.dot_general(
+                xwin, gsm,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (L, P)
+            dw2T = dw2T.reshape(d_win, wp, p)
+            dwyT = jnp.sum(dw2T * wxT[None, :, :], axis=1)     # (d_win, P)
+            dwxT = jnp.sum(dw2T * wyT[:, None, :], axis=0)     # (Wp, P)
+            doffyT = jnp.sum(dwyT * _dhat(adT), axis=0)        # (P,)
+            doffxT = jnp.sum(dwxT * _dhat(uxT), axis=0)        # (P,)
+            dmaskT = jnp.sum(sampled * gs, axis=-1)            # (P,)
+            doff_cols.append(doffyT.reshape(ch, tw, 1))
+            doff_cols.append(doffxT.reshape(ch, tw, 1))
+            dmask_cols.append(dmaskT.reshape(ch, tw, 1))
+
+            # dW_t = (m * sampled)^T @ g
+            dw_ref[0, 0, t * c : (t + 1) * c, :] += jax.lax.dot_general(
+                sampled * mT.reshape(p, 1), gflat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        doff_ref[0, 0, pl.ds(y0, ch), :, :] = jnp.concatenate(doff_cols, -1)
+        dmask_ref[0, 0, pl.ds(y0, ch), :, :] = jnp.concatenate(dmask_cols, -1)
+        return 0
+
+    jax.lax.fori_loop(0, hc // ch, chunk_body, 0, unroll=False)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _prep(x, offset, mask, radius, ch, tw):
+    """Pad + restack into overlapping column slabs.
+
+    Returns (xt, offt, maskt, (s, hc, wp, ntx)) where xt is
+    (B, ntx, Hc+2s, Wp, C) with slab i covering padded columns
+    [i*TW, i*TW + Wp)."""
+    b, h, w, c = x.shape
+    s = radius + 2
+    hc = _round_up(h, ch)
+    wc = _round_up(w, tw)
+    wp = _round_up(tw + 2 * s, 8)
+    ntx = wc // tw
+    xs = jnp.pad(x, ((0, 0), (s, s + (hc - h)), (s, s + (wc - w) + (wp - tw - 2 * s)), (0, 0)))
+    xt = jnp.stack([xs[:, :, i * tw : i * tw + wp, :] for i in range(ntx)], 1)
+    offp = jnp.pad(offset.astype(jnp.float32),
+                   ((0, 0), (0, hc - h), (0, wc - w), (0, 0)))
+    offt = offp.reshape(b, hc, ntx, tw, 2 * KK).transpose(0, 2, 1, 3, 4)
+    maskp = jnp.pad(mask.astype(jnp.float32),
+                    ((0, 0), (0, hc - h), (0, wc - w), (0, 0)))
+    maskt = maskp.reshape(b, hc, ntx, tw, KK).transpose(0, 2, 1, 3, 4)
+    return xt, offt, maskt, (s, hc, wp, ntx)
+
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def modulated_deform_conv2d_mxu2(x, offset, mask, weight, radius: int = 3):
+    """Modulated deformable conv 3x3, stride 1, pad 1 — fused-bilinear
+    x-tiled MXU kernel. Exact bilinear/zero-pad semantics for
+    |offset| <= radius; offsets are clipped to +/-radius."""
+    out, _ = _fwd_impl(x, offset, mask, weight, radius)
+    return out
+
+
+def _fwd_impl(x, offset, mask, weight, radius):
+    b, h, w, c = x.shape
+    cout = weight.shape[-1]
+    offset = jnp.clip(offset, -float(radius), float(radius))
+    xt, offt, maskt, (s, hc, wp, ntx) = _prep(x, offset, mask, radius, CH, TW)
+    wflat = weight.reshape(KK * c, cout).astype(jnp.float32)
+
+    kernel = partial(_fwd_kernel, hc=hc, tw=TW, s=s, radius=radius,
+                     cout=cout, ch=CH)
+    spec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        (1, 1, *shape), lambda i, j: (i, j) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    out_t = pl.pallas_call(
+        kernel,
+        grid=(b, ntx),
+        in_specs=[
+            spec(hc + 2 * s, wp, c),
+            spec(hc, TW, 2 * KK),
+            spec(hc, TW, KK),
+            pl.BlockSpec((KK * c, cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec(hc, TW, cout),
+        out_shape=jax.ShapeDtypeStruct((b, ntx, hc, TW, cout), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * ntx * hc * TW * KK
+            * ((CH + 2 * radius + 2) * wp * c // CH + c * cout),
+            bytes_accessed=2 * b * ntx * hc * (
+                wp * c * 2 + TW * (3 * KK + cout) * 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(xt, offt, maskt, wflat)
+
+    out = out_t.transpose(0, 2, 1, 3, 4).reshape(b, hc, ntx * TW, cout)
+    return out[:, :h, :w, :].astype(x.dtype), (x, offset, mask, weight)
+
+
+def _fwd_rule(x, offset, mask, weight, radius):
+    out, res = _fwd_impl(x, offset, mask, weight, radius)
+    return out, res
+
+
+def _bwd_rule(radius, res, gout):
+    x, offset, mask, weight = res        # offset here is already clipped
+    b, h, w, c = x.shape
+    cout = weight.shape[-1]
+    xt, offt, maskt, (s, hc, wp, ntx) = _prep(x, offset, mask, radius, CH, TW)
+    wflat = weight.reshape(KK * c, cout).astype(jnp.float32)
+    gpad = jnp.pad(gout.astype(jnp.float32),
+                   ((0, 0), (0, hc - h), (0, ntx * TW - w), (0, 0)))
+    gt = gpad.reshape(b, hc, ntx, TW, cout).transpose(0, 2, 1, 3, 4)
+
+    kernel = partial(_bwd_kernel, hc=hc, tw=TW, s=s, radius=radius,
+                     cout=cout, ch=CH)
+    spec = lambda *shape: pl.BlockSpec(  # noqa: E731
+        (1, 1, *shape), lambda i, j: (i, j) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    dxt, dofft, dmaskt, dw_b = pl.pallas_call(
+        kernel,
+        grid=(b, ntx),
+        in_specs=[
+            spec(hc + 2 * s, wp, c),
+            spec(hc, TW, 2 * KK),
+            spec(hc, TW, KK),
+            pl.BlockSpec((KK * c, cout), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            spec(hc, TW, cout),
+        ],
+        out_specs=[
+            spec(hc + 2 * s, wp, c),
+            spec(hc, TW, 2 * KK),
+            spec(hc, TW, KK),
+            spec(KK * c, cout),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, ntx, hc + 2 * s, wp, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, ntx, hc, TW, 2 * KK), jnp.float32),
+            jax.ShapeDtypeStruct((b, ntx, hc, TW, KK), jnp.float32),
+            jax.ShapeDtypeStruct((b, ntx, KK * c, cout), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(xt, offt, maskt, wflat, gt)
+
+    # un-tile dx: slabs overlap by 2s(+alignment), so scatter-add each one
+    wc = ntx * TW
+    dxs = jnp.zeros((b, hc + 2 * s, wc + 2 * s + (wp - TW - 2 * s), c),
+                    jnp.float32)
+    for i in range(ntx):
+        dxs = dxs.at[:, :, i * TW : i * TW + wp, :].add(dxt[:, i])
+    dx = dxs[:, s : s + h, s : s + w, :].astype(x.dtype)
+
+    doff = dofft.transpose(0, 2, 1, 3, 4).reshape(b, hc, wc, 2 * KK)[:, :h, :w]
+    inb = (jnp.abs(offset) < float(radius)).astype(doff.dtype)
+    doff = (doff * inb).astype(offset.dtype)
+    dmask = dmaskt.transpose(0, 2, 1, 3, 4).reshape(b, hc, wc, KK)[:, :h, :w]
+    dmask = dmask.astype(mask.dtype)
+    dweight = dw_b.sum((0, 1)).reshape(K, K, c, cout).astype(weight.dtype)
+    return dx, doff, dmask, dweight
+
+
+modulated_deform_conv2d_mxu2.defvjp(_fwd_rule, _bwd_rule)
