@@ -81,6 +81,21 @@ def test_export_tflite_roundtrip(model, reference_output, tmp_path):
     np.testing.assert_allclose(y, y_ref, atol=1e-2, rtol=1e-2)
 
 
+@pytest.mark.slow
+def test_export_pb_roundtrip(model, reference_output, tmp_path):
+    """Frozen TF GraphDef (reference exporter.py export_pb +
+    autobackend.py wrap_frozen_graph)."""
+    pytest.importorskip("tensorflow")
+    from yolo_ad_refine_tpu.engine.exporter import AutoBackend, Exporter
+
+    x, y_ref = reference_output
+    path = Exporter(model, imgsz=64)("pb", tmp_path / "m")
+    assert path.exists() and path.stat().st_size > 1000
+    backend = AutoBackend(path)
+    y = np.asarray(backend(x.astype(np.float32)))
+    np.testing.assert_allclose(y, y_ref, atol=1e-2)
+
+
 def test_unsupported_format_message(model):
     from yolo_ad_refine_tpu.engine.exporter import Exporter, UnsupportedFormat
 

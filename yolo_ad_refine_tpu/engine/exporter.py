@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from yolo_ad_refine_tpu.utils import LOGGER
 
-FORMATS = ("checkpoint", "stablehlo", "saved_model", "tflite")
+FORMATS = ("checkpoint", "stablehlo", "saved_model", "tflite", "pb")
 UNSUPPORTED = {
     "onnx": "onnx package not available in this environment",
     "engine": "TensorRT is CUDA-only; use stablehlo/saved_model on TPU",
@@ -112,6 +112,23 @@ class Exporter:
         tf.saved_model.save(module, str(path))
         return path
 
+    def export_pb(self, path: Path):
+        """TF frozen GraphDef (.pb) — reference exporter.py export_pb
+        (keras model -> convert_variables_to_constants_v2 -> GraphDef)."""
+        import tensorflow as tf
+        from tensorflow.python.framework.convert_to_constants import (
+            convert_variables_to_constants_v2,
+        )
+
+        module = self._tf_module()
+        concrete = module.f.get_concrete_function()
+        frozen = convert_variables_to_constants_v2(concrete)
+        graph_def = frozen.graph.as_graph_def()
+        path = path.with_suffix(".pb")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tf.io.write_graph(graph_def, str(path.parent), path.name, as_text=False)
+        return path
+
     def export_tflite(self, path: Path):
         import tensorflow as tf
 
@@ -165,6 +182,24 @@ class AutoBackend:
             self.kind = "saved_model"
             self._tf = tf.saved_model.load(str(self.path))
             self._fn = lambda x: np.asarray(self._tf.f(np.asarray(x, np.float32)))
+        elif self.path.suffix == ".pb":
+            import tensorflow as tf
+
+            self.kind = "pb"
+            graph_def = tf.compat.v1.GraphDef()
+            graph_def.ParseFromString(self.path.read_bytes())
+            # wrap_function gives the frozen graph a callable signature
+            # (reference autobackend.py pb branch: wrap_frozen_graph)
+            names = [n.name for n in graph_def.node]
+            inp = names[0] + ":0"
+            out = [n for n in graph_def.node if n.name.startswith("Identity")][-1].name + ":0"
+
+            def _imports():
+                tf.compat.v1.import_graph_def(graph_def, name="")
+
+            wrapped = tf.compat.v1.wrap_function(_imports, [])
+            frozen = wrapped.prune(inp, out)
+            self._fn = lambda x: np.asarray(frozen(tf.constant(np.asarray(x, np.float32))))
         elif self.path.suffix == ".tflite":
             import tensorflow as tf
 
