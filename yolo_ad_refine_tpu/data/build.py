@@ -86,8 +86,11 @@ class DataLoader:
 
     def __init__(self, dataset: YOLODataset, batch_size: int = 16, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = False, workers: int = None,
-                 prefetch: int = 4, max_boxes: int | None = None):
+                 prefetch: int = 4, max_boxes: int | None = None,
+                 batch_plan: list | None = None):
         self.dataset = dataset
+        # explicit batch plan (e.g. rect-val buckets: every batch one shape)
+        self.batch_plan = batch_plan
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
@@ -98,6 +101,8 @@ class DataLoader:
         self.epoch = 0
 
     def __len__(self):
+        if self.batch_plan is not None:
+            return len(self.batch_plan)
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
@@ -120,8 +125,11 @@ class DataLoader:
         return idx
 
     def __iter__(self):
-        idx = self._indices()
-        batches = [idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)]
+        if self.batch_plan is not None:
+            batches = self.batch_plan
+        else:
+            idx = self._indices()
+            batches = [idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -111,6 +111,55 @@ class YOLODataset:
         self.cache_images = {True: "ram"}.get(cache_images, cache_images)
         self._ram: list = [None] * len(self.im_files)
         self.mosaic_enabled = self.augment and self.hyp.get("mosaic", 1.0) > 0
+        # rect val: per-image STATIC letterbox target (h, w), set by
+        # set_rectangle(); None -> square (imgsz, imgsz)
+        self.rect_shapes: np.ndarray | None = None
+        self.rect_order: np.ndarray | None = None
+
+    def set_rectangle(self, batch_size: int, nbuckets: int = 4, stride: int = 32,
+                      pad: float = 0.5):
+        """TPU-native rect batching: K STATIC aspect-ratio buckets.
+
+        The reference (base.py:261-284 set_rectangle + LetterBox auto) gives
+        every val batch its own minimal rectangular shape — a different
+        XLA-compiled executable per batch. Here images are sorted by aspect
+        ratio and split into ``nbuckets`` contiguous groups; each group
+        letterboxes to ONE shape covering its extreme ratio (same
+        ceil-to-stride arithmetic as the reference), so the whole val run
+        compiles at most ``nbuckets`` forward executables while recovering
+        most of the padding the square letterbox wastes.
+
+        Returns the bucket-grouped batch plan (list of index arrays, each a
+        full batch from a single bucket) for the DataLoader.
+        """
+        n = len(self.im_files)
+        ars = np.empty(n, np.float64)
+        for i in range(n):
+            # decode-once for shape; RAM/disk cache reuses the decode
+            _, (h0, w0) = self.load_image(i)
+            ars[i] = h0 / w0
+        order = np.argsort(ars)
+        self.rect_shapes = np.full((n, 2), self.imgsz, np.int32)
+        nbuckets = max(1, min(nbuckets, n))
+        groups = np.array_split(order, nbuckets)
+        for g in groups:
+            if not len(g):
+                continue
+            mini, maxi = float(ars[g].min()), float(ars[g].max())
+            shape = [1.0, 1.0]
+            if maxi < 1:       # all wide: shrink height to the tallest
+                shape = [maxi, 1.0]
+            elif mini > 1:     # all tall: shrink width to the widest
+                shape = [1.0, 1.0 / mini]
+            hw = np.ceil(np.array(shape) * self.imgsz / stride + pad).astype(int) * stride
+            self.rect_shapes[g] = np.minimum(hw, self.imgsz)
+        # batch plan: batches never straddle buckets (one shape per batch)
+        plan = []
+        for g in groups:
+            for k in range(0, len(g), batch_size):
+                plan.append(np.asarray(g[k : k + batch_size]))
+        self.rect_order = order
+        return plan
 
     @staticmethod
     def _glob_images(img_path) -> list[str]:
@@ -345,7 +394,9 @@ class YOLODataset:
         else:
             img, boxes, cls, (h0, w0) = self.load_item(i, with_shape=True)
             r1 = img.shape[0] / h0  # long-side pre-resize factor
-            img, ratio, pad = A.letterbox(img, self.imgsz, scaleup=self.augment)
+            target = (tuple(int(v) for v in self.rect_shapes[i])
+                      if self.rect_shapes is not None else self.imgsz)
+            img, ratio, pad = A.letterbox(img, target, scaleup=self.augment)
             boxes = A.apply_letterbox_to_boxes(boxes, ratio, pad) if len(boxes) else boxes
             if self.augment:
                 img, boxes, cls = A.random_perspective(

@@ -49,7 +49,14 @@ class DetectionValidator:
                          max_boxes=int(self.args.get("max_boxes", 128)),
                          task=self.args.get("task", "detect"))
         self.names = info["names"]
-        return DataLoader(ds, batch_size=batch, shuffle=False)
+        plan = None
+        if self.args.get("rect") and self.args.get("task", "detect") == "detect":
+            # TPU rect val: K static aspect-ratio buckets (vs the reference's
+            # per-batch dynamic shapes, base.py:261-284) — at most K compiled
+            # forwards, batches never straddle buckets
+            plan = ds.set_rectangle(batch,
+                                    nbuckets=int(self.args.get("rect_buckets", 4)))
+        return DataLoader(ds, batch_size=batch, shuffle=False, batch_plan=plan)
 
     # -- main -----------------------------------------------------------------
     def __call__(self, model=None, variables=None, dataloader=None, loss_fn=None):
@@ -174,7 +181,8 @@ class DetectionValidator:
                 angles = np.asarray(jax.device_get(extras))[..., 0] if rotated else None
                 pred_kpts = np.asarray(jax.device_get(extras)) if pose else None
             with profs["postprocess"]:
-                self._update_metrics(det, cnt, batch, metrics, confusion, imgsz,
+                self._update_metrics(det, cnt, batch, metrics, confusion,
+                                     batch["img"].shape[1:3],
                                      seg_metrics=seg_metrics, mask_ious=mask_ious,
                                      angles=angles, pose_metrics=pose_metrics,
                                      pred_kpts=pred_kpts, kpt_shape=kpt_shape,
@@ -232,7 +240,7 @@ class DetectionValidator:
         return rb
 
     def _update_metrics(self, det, cnt, batch, metrics: DetMetrics,
-                        confusion: ConfusionMatrix, imgsz: int,
+                        confusion: ConfusionMatrix, imgsz,
                         seg_metrics: DetMetrics | None = None, mask_ious=None,
                         angles=None, pose_metrics: DetMetrics | None = None,
                         pred_kpts=None, kpt_shape=None, kpt_sigmas=None):
@@ -266,12 +274,14 @@ class DetectionValidator:
             else:
                 if n:
                     d[:, :4] = np.asarray(
-                        scale_boxes((imgsz, imgsz), jnp.asarray(d[:, :4]), ori_shape,
+                        scale_boxes(tuple(imgsz) if not np.isscalar(imgsz) else (imgsz, imgsz),
+                                    jnp.asarray(d[:, :4]), ori_shape,
                                     ratio_pad=ratio_pad)
                     )
                 if len(gt_boxes):
                     gt_boxes = np.asarray(
-                        scale_boxes((imgsz, imgsz), jnp.asarray(gt_boxes), ori_shape,
+                        scale_boxes(tuple(imgsz) if not np.isscalar(imgsz) else (imgsz, imgsz),
+                                    jnp.asarray(gt_boxes), ori_shape,
                                     ratio_pad=ratio_pad)
                     )
 
