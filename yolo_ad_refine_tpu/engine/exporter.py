@@ -61,14 +61,15 @@ class Exporter:
 
         return fn
 
-    def __call__(self, fmt: str = "stablehlo", path: str | Path = "export"):
+    def __call__(self, fmt: str = "stablehlo", path: str | Path = "export",
+                 **kwargs):
         fmt = fmt.lower()
         if fmt in UNSUPPORTED:
             raise UnsupportedFormat(f"format '{fmt}': {UNSUPPORTED[fmt]}")
         if fmt not in FORMATS:
             raise UnsupportedFormat(f"unknown format '{fmt}'; supported: {FORMATS}")
         path = Path(path)
-        out = getattr(self, f"export_{fmt}")(path)
+        out = getattr(self, f"export_{fmt}")(path, **kwargs)
         LOGGER.info(f"export {fmt} -> {out}")
         return out
 
@@ -129,7 +130,12 @@ class Exporter:
         tf.io.write_graph(graph_def, str(path.parent), path.name, as_text=False)
         return path
 
-    def export_tflite(self, path: Path):
+    def export_tflite(self, path: Path, int8: bool = False, data=None,
+                      n_calib: int = 32):
+        """TFLite flatbuffer; ``int8=True`` adds post-training quantization
+        with a representative dataset (reference exporter.py export_tflite
+        int8 branch). ``data``: data.yaml path / image dir for calibration
+        batches; random calibration is used (and warned about) without it."""
         import tensorflow as tf
 
         sm_path = self.export_saved_model(path.with_name(path.name + "_sm"))
@@ -138,10 +144,50 @@ class Exporter:
             tf.lite.OpsSet.TFLITE_BUILTINS,
             tf.lite.OpsSet.SELECT_TF_OPS,
         ]
+        if int8:
+            converter.optimizations = [tf.lite.Optimize.DEFAULT]
+
+            def rep_dataset():
+                for x in self._calibration_batches(data, n_calib):
+                    yield [x.astype(np.float32)]
+
+            converter.representative_dataset = rep_dataset
         blob = converter.convert()
         path = path.with_suffix(".tflite")
         path.write_bytes(blob)
         return path
+
+    def _calibration_batches(self, data, n_calib: int):
+        """Representative inputs for PTQ: real letterboxed images when a
+        dataset/dir is given, else seeded noise (warned)."""
+        import cv2
+
+        from yolo_ad_refine_tpu.data.augment import letterbox
+        from yolo_ad_refine_tpu.data.dataset import IMG_FORMATS, check_det_dataset
+
+        files = []
+        if data is not None:
+            p = Path(data)
+            if p.suffix in (".yaml", ".yml"):
+                info = check_det_dataset(p)
+                p = Path(info.get("val") or info.get("train"))
+            if p.is_dir():
+                files = [f for f in sorted(p.rglob("*"))
+                         if f.suffix[1:].lower() in IMG_FORMATS][:n_calib]
+        if not files:
+            LOGGER.warning(
+                "int8 calibration without a dataset: using random inputs — "
+                "pass data=... for a representative range")
+            r = np.random.default_rng(0)
+            for _ in range(n_calib):
+                yield r.random((self.batch, self.imgsz, self.imgsz, 3),
+                               dtype=np.float32) * 255.0
+            return
+        for f in files:
+            im = cv2.imread(str(f))
+            im, _, _ = letterbox(im, self.imgsz, scaleup=False)
+            x = im[..., ::-1].astype(np.float32)[None]
+            yield np.repeat(x, self.batch, axis=0) if self.batch > 1 else x
 
 
 # ---------------------------------------------------------------------------
