@@ -63,6 +63,9 @@ class DetectionPredictor:
         agnostic = bool(args.get("agnostic_nms", False))
         batch_size = int(args.get("batch", 16))
         save = bool(args.get("save", False))
+        save_txt = bool(args.get("save_txt", False))
+        save_conf = bool(args.get("save_conf", False))
+        save_crop = bool(args.get("save_crop", False))
         names = names or getattr(model, "names", None) or {i: f"class{i}" for i in range(model.nc)}
         variables = args.get("variables") or model.variables
         # task from the model's head (reference: task inferred from checkpoint)
@@ -90,7 +93,7 @@ class DetectionPredictor:
 
         items = load_sources(source)
         save_dir = None
-        if save:
+        if save or save_txt or save_crop:
             save_dir = increment_path(Path(args.get("project") or "runs") / "predict", mkdir=True)
 
         results: list[Results] = []
@@ -156,5 +159,11 @@ class DetectionPredictor:
                 results.append(r)
                 LOGGER.info(f"{name}: {r.verbose()} ({dt:.1f} ms/img)")
                 if save_dir is not None:
-                    r.save(save_dir / Path(name).name)
+                    if save:
+                        r.save(save_dir / Path(name).name)
+                    if save_txt:
+                        r.save_txt(save_dir / "labels" / f"{Path(name).stem}.txt",
+                                   save_conf=save_conf)
+                    if save_crop:
+                        r.save_crop(save_dir / "crops", Path(name).name)
         return results

@@ -245,6 +245,28 @@ class Results:
         p.write_text("\n".join(lines) + ("\n" if lines else ""))
         return p
 
+    def save_crop(self, save_dir: str | Path, file_name: str | Path = "im.jpg"):
+        """Save a square-ish crop per detection under
+        save_dir/<class name>/<file_name> (reference utils/plotting.py
+        save_one_box: box * 1.02 gain + 10 px pad, clipped)."""
+        import cv2
+
+        h, w = self.orig_shape
+        stem = Path(file_name).stem
+        for i in range(len(self.boxes)):
+            x1, y1, x2, y2 = self.boxes.xyxy[i]
+            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+            bw, bh = (x2 - x1) * 1.02 + 20, (y2 - y1) * 1.02 + 20
+            xa = int(max(0, cx - bw / 2)); xb = int(min(w, cx + bw / 2))
+            ya = int(max(0, cy - bh / 2)); yb = int(min(h, cy + bh / 2))
+            if xb <= xa or yb <= ya:
+                continue
+            name = str(self.names.get(int(self.boxes.cls[i]), int(self.boxes.cls[i])))
+            out = Path(save_dir) / name / f"{stem}{'' if i == 0 else f'_{i}'}.jpg"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(out), self.orig_img[ya:yb, xa:xb])
+        return Path(save_dir)
+
     def tojson(self) -> str:
         out = []
         for row in self.boxes.data:

@@ -142,6 +142,9 @@ class DetectionValidator:
                     lambda p, e, d, g: mask_iou_matrix(p, e, d[:, :4], (imgsz, imgsz), g, max_gt)
                 )(protos, extras, dets, gt_masks)
 
+        # COCO-format predictions for external evaluation (reference
+        # detect/val.py pred_to_json + save_json)
+        self.jdict = [] if self.args.get("save_json") else None
         metrics = DetMetrics(names)
         seg_metrics = DetMetrics(names) if segment else None
         pose_metrics = DetMetrics(names) if pose else None
@@ -210,6 +213,13 @@ class DetectionValidator:
         results["speed_ms_per_image"] = total_ms
         results["inference_ms_per_image"] = profs["inference"].t / max(seen, 1) * 1000
         self._print_results(metrics, seen, names)
+        if self.jdict is not None:
+            import json
+
+            out = Path(self.args.get("save_dir") or ".") / "predictions.json"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(json.dumps(self.jdict))
+            LOGGER.info(f"save_json: {len(self.jdict)} predictions -> {out}")
         if self.args.get("plots") and self.args.get("save_dir"):
             self._plot(metrics, confusion, names, Path(self.args["save_dir"]))
         return results
@@ -284,6 +294,18 @@ class DetectionValidator:
                                     jnp.asarray(gt_boxes), ori_shape,
                                     ratio_pad=ratio_pad)
                     )
+
+            if getattr(self, "jdict", None) is not None and n:
+                stem = Path(batch["im_file"][i]).stem
+                image_id = int(stem) if stem.isnumeric() else stem
+                for x1, y1, x2, y2, sc, c in d[:, :6]:
+                    self.jdict.append({
+                        "image_id": image_id,
+                        "category_id": int(c),
+                        "bbox": [round(float(x1), 3), round(float(y1), 3),
+                                 round(float(x2 - x1), 3), round(float(y2 - y1), 3)],
+                        "score": round(float(sc), 5),
+                    })
 
             if n == 0:
                 if len(gt_cls):
