@@ -40,6 +40,7 @@ class TestProbIoU:
 
 
 class TestATSS:
+    @pytest.mark.slow
     def test_obvious_assignment(self):
         shapes = [(IMGSZ // s, IMGSZ // s) for s in STRIDES]
         anchors, counts = generate_cell_anchors(shapes, STRIDES)
@@ -59,6 +60,7 @@ class TestATSS:
         # soft scores scaled by prediction IoU (=1 here)
         assert np.asarray(res.target_scores[0])[fg].max() == pytest.approx(1.0, abs=1e-3)
 
+    @pytest.mark.slow
     def test_empty_gt(self):
         shapes = [(IMGSZ // s, IMGSZ // s) for s in STRIDES]
         anchors, counts = generate_cell_anchors(shapes, STRIDES)

@@ -40,6 +40,7 @@ def test_simam_is_parameter_free_gate():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_yaml_row_registration():
     from yolo_ad_refine_tpu.models.model import DetectionModel
 

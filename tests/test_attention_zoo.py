@@ -25,23 +25,21 @@ CASES = [
     ("LSKA", {"k_size": 23}, (12, 12, 32)),
     ("SegNextAttention", {}, (12, 12, 32)),
     ("CPCA", {}, (12, 12, 32)),
-    ("DeformableLKA", {}, (8, 8, 16)),
-    ("DAttention", {"n_heads": 4, "n_groups": 2}, (8, 8, 32)),
-    ("DAttention", {"n_heads": 4, "n_groups": 2, "no_off": True}, (8, 8, 32)),
-    ("FocusedLinearAttention", {"split_size": 4, "num_heads": 4}, (8, 8, 32)),
-    ("CascadedGroupAttention",
-     {"key_dim": 8, "num_heads": 4, "resolution": 7}, (7, 7, 32)),
-    ("LocalWindowAttention", {"key_dim": 8, "num_heads": 4}, (9, 9, 32)),
+    pytest.param(*("DeformableLKA", {}, (8, 8, 16)), marks=pytest.mark.slow),
+    pytest.param(*("DAttention", {"n_heads": 4, "n_groups": 2}, (8, 8, 32)), marks=pytest.mark.slow),
+    pytest.param(*("DAttention", {"n_heads": 4, "n_groups": 2, "no_off": True}, (8, 8, 32)), marks=pytest.mark.slow),
+    pytest.param(*("FocusedLinearAttention", {"split_size": 4, "num_heads": 4}, (8, 8, 32)), marks=pytest.mark.slow),
+    pytest.param(*("CascadedGroupAttention", {"key_dim": 8, "num_heads": 4, "resolution": 7}, (7, 7, 32)), marks=pytest.mark.slow),
+    pytest.param(*("LocalWindowAttention", {"key_dim": 8, "num_heads": 4}, (9, 9, 32)), marks=pytest.mark.slow),
     ("DualDomainSelectionMechanism", {}, (8, 8, 32)),
-    ("EfficientAttention",
-     {"num_heads": 4, "group_split": (2, 2), "window_size": 2}, (8, 8, 32)),
-    ("BiLevelRoutingAttention",
-     {"num_heads": 4, "n_win": 2, "topk": 2}, (8, 8, 32)),
+    pytest.param(*("EfficientAttention", {"num_heads": 4, "group_split": (2, 2), "window_size": 2}, (8, 8, 32)), marks=pytest.mark.slow),
+    pytest.param(*("BiLevelRoutingAttention", {"num_heads": 4, "n_win": 2, "topk": 2}, (8, 8, 32)), marks=pytest.mark.slow),
 ]
 
 
 @pytest.mark.parametrize("name,kw,shape", CASES,
-                         ids=[f"{n}-{i}" for i, (n, _, _) in enumerate(CASES)])
+                         ids=[f"{(c.values if hasattr(c, 'values') else c)[0]}-{i}"
+                              for i, c in enumerate(CASES)])
 def test_shape_preserved_and_finite(name, kw, shape):
     m = getattr(AZ, name)(**kw)
     h, w, c = shape
@@ -54,6 +52,7 @@ def test_shape_preserved_and_finite(name, kw, shape):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_dattention_pe_modes():
     """All four positional-encoding modes run (reference defaults = dwc)."""
     x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (1, 8, 8, 32)),

@@ -32,6 +32,7 @@ def cls_dataset(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_classify_head_forward():
     import jax.numpy as jnp
 
@@ -45,6 +46,7 @@ def test_classify_head_forward():
     assert logits.shape == (2, 3)
 
 
+@pytest.mark.slow
 def test_classify_trains_to_separate_colors(cls_dataset, tmp_path):
     from yolo_ad_refine_tpu.train.classify import ClassificationTrainer
 

@@ -34,6 +34,7 @@ def _inputs(seed=0, B=1, H=10, W=12, C=8, CO=8):
     return x, off, mask, w
 
 
+@pytest.mark.slow
 def test_forward_matches_exact_gather():
     x, off, mask, w = _inputs()
     y_ref = modulated_deform_conv2d(x, off, mask, w)
@@ -71,6 +72,7 @@ def test_clip_semantics_beyond_radius():
     np.testing.assert_allclose(np.asarray(y_big), np.asarray(y_clip), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_nondivisible_height_padding():
     x, off, mask, w = _inputs(seed=3, H=11, W=9)
     y_ref = modulated_deform_conv2d(x, off, mask, w)

@@ -42,6 +42,7 @@ def test_forward_matches_exact_gather():
     np.testing.assert_allclose(np.asarray(y_mx), np.asarray(y_ref), atol=atol)
 
 
+@pytest.mark.slow
 def test_forward_tile_nondivisible():
     """W smaller than / not divisible by the tile width, H not by CH."""
     for seed, (h, w_) in ((1, (11, 9)), (2, (7, 37)), (3, (16, 16))):

@@ -44,6 +44,7 @@ def test_forward_matches_exact_gather():
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=atol)
 
 
+@pytest.mark.slow
 def test_gradients_match_exact_gather():
     x, off, mask, w = _inputs(seed=1)
 

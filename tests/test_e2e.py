@@ -84,6 +84,7 @@ class TestTrainer:
         y, _ = trainer.model(jnp.zeros((1, 64, 64, 3)), train=False)
         assert np.isfinite(np.asarray(y)).all()
 
+    @pytest.mark.slow
     def test_checkpoint_roundtrip(self, toy_dataset, tmp_path):
         from yolo_ad_refine_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
         from yolo_ad_refine_tpu.models.model import build_detection_model
@@ -99,6 +100,7 @@ class TestTrainer:
 
 
 class TestValidatorPredictor:
+    @pytest.mark.slow
     def test_validator_runs(self, toy_dataset):
         from yolo_ad_refine_tpu.engine.validator import DetectionValidator
         from yolo_ad_refine_tpu.models.model import build_detection_model

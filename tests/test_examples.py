@@ -22,6 +22,7 @@ def test_tile_grid_covers_image():
         assert cov.all(), (h, w, t, ov)
 
 
+@pytest.mark.slow
 def test_sliced_predict_runs_and_merges():
     from sahi_tiled_inference import sliced_predict
 
@@ -74,6 +75,7 @@ def test_int8_tflite_export_roundtrip(tmp_path):
     assert corr > 0.9, corr
 
 
+@pytest.mark.slow
 def test_region_counter_example_wires(tmp_path):
     """Drive the example's counting path on a tiny synthetic video."""
     import cv2

@@ -36,6 +36,7 @@ class TestSegment:
 
 
 class TestPose:
+    @pytest.mark.slow
     def test_contract(self):
         m = build([[2, 3, 4], 1, "Pose", [1, [5, 3]]], nc=1)
         x = jnp.zeros((2, 64, 64, 3))
@@ -52,6 +53,7 @@ class TestPose:
 
 
 class TestV10Detect:
+    @pytest.mark.slow
     def test_contract(self):
         m = build([[2, 3, 4], 1, "v10Detect", ["nc"]])
         x = jnp.zeros((2, 64, 64, 3))
@@ -66,6 +68,7 @@ class TestV10Detect:
 
 
 class TestWorldDetect:
+    @pytest.mark.slow
     def test_contract_with_text(self):
         m = build([[2, 3, 4], 1, "WorldDetect", ["nc", 32]])
         x = jnp.zeros((2, 64, 64, 3))
@@ -76,6 +79,7 @@ class TestWorldDetect:
 
 
 class TestOBB:
+    @pytest.mark.slow
     def test_contract(self):
         m = build([[2, 3, 4], 1, "OBB", ["nc", 1]])
         x = jnp.zeros((2, 64, 64, 3))

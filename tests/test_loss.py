@@ -129,6 +129,7 @@ class TestDetectionLoss:
         assert float(out.total) > 0
         assert np.isfinite(np.asarray(out.components)).all()
 
+    @pytest.mark.slow
     def test_empty_targets(self):
         feats = make_feats()
         labels, boxes, mask = make_targets()
@@ -137,6 +138,7 @@ class TestDetectionLoss:
         comps = np.asarray(out.components)
         assert comps[0] == 0.0 and comps[2] == 0.0  # no box/dfl loss without fg
 
+    @pytest.mark.slow
     def test_gradients_flow(self):
         labels, boxes, mask = make_targets()
         feats = make_feats()
@@ -149,6 +151,7 @@ class TestDetectionLoss:
             assert np.isfinite(np.asarray(g)).all()
             assert float(jnp.abs(g).sum()) > 0
 
+    @pytest.mark.slow
     def test_better_predictions_lower_loss(self):
         """Feats whose cls logits are peaked on correct targets should score
         lower cls loss than random ones."""

@@ -45,6 +45,7 @@ def _synthetic_eval(seed=0, n_img=16, nc=7, max_gt=12):
 
 @pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
 @pytest.mark.parametrize("seed", [0, 7])
+@pytest.mark.slow
 def test_map_matches_reference_metrics(seed):
     sys.path.insert(0, str(Path(__file__).parent))
     from test_parity import _ensure_reference_importable

@@ -130,7 +130,7 @@ def _build_torch_reference(cfg_path: str):
 @pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
 @pytest.mark.parametrize("cfg", [
     "ultralytics/cfg/models/11/yolo11.yaml",
-    "z-yaml/yolo11-701-YOLO-AD-Refine.yaml",
+    pytest.param("z-yaml/yolo11-701-YOLO-AD-Refine.yaml", marks=pytest.mark.slow),
     "z-yaml/yolo11-697-newfpn+mona+AYHead+mlca3.yaml",
     "z-yaml/yolo11-newfpn.yaml",
     "z-yaml/yolo11-AYHead.yaml",

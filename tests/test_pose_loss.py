@@ -32,6 +32,7 @@ def test_keypoint_loss_zero_at_exact():
     assert off > exact
 
 
+@pytest.mark.slow
 def test_pose_loss_finite_and_grads():
     from yolo_ad_refine_tpu.models.model import build_detection_model
 

@@ -1,6 +1,7 @@
 """Task-aware predict surface: segment masks, pose keypoints, OBB results."""
 
 import numpy as np
+import pytest
 
 from yolo_ad_refine_tpu.engine.predictor import DetectionPredictor
 from yolo_ad_refine_tpu.models.model import build_detection_model
@@ -34,6 +35,7 @@ class TestPredictTasks:
             assert len(r.masks) == len(r.boxes)
             assert r.plot().shape == r.orig_img.shape
 
+    @pytest.mark.slow
     def test_pose_predict_returns_keypoints(self):
         r = _run([[2, 3, 4], 1, "Pose", ["nc", [4, 3]]])
         if len(r.boxes):
@@ -54,6 +56,7 @@ class TestPredictTasks:
                                        r.obb.xyxyxyxy.min(1), atol=1e-3)
             assert r.plot().shape == r.orig_img.shape
 
+    @pytest.mark.slow
     def test_save_txt_and_json_task_formats(self, tmp_path):
         import json
 

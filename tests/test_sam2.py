@@ -47,6 +47,7 @@ def test_param_count_parity(variant):
     assert ours_n - 256 == ref_n, f"{variant}: ours {ours_n} vs torch {ref_n}"
 
 
+@pytest.mark.slow
 def test_image_predict_smoke():
     from yolo_ad_refine_tpu.models.sam.sam2 import SAM2Predictor
 
@@ -60,6 +61,7 @@ def test_image_predict_smoke():
     assert np.all(np.diff(ious) <= 0)  # score-sorted
 
 
+@pytest.mark.slow
 def test_video_propagation_smoke():
     """Synthetic moving-square video: prompt frame 0, propagate 3 frames.
     The fixed-slot memory bank must accept growing memory without
@@ -89,6 +91,7 @@ def test_video_propagation_smoke():
     assert set(vp.cond_frames) == {0}
 
 
+@pytest.mark.slow
 def test_memory_attention_mask_blocks_padding():
     """Padded (invalid) memory slots must not influence the output."""
     from yolo_ad_refine_tpu.models.sam.sam2_modules import MemoryAttention

@@ -73,6 +73,7 @@ def test_fusion_sdi_builds_and_runs():
 
 
 @pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+@pytest.mark.slow
 def test_sdi_model_logits_parity(tmp_path):
     import sys
 

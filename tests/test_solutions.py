@@ -1,6 +1,7 @@
 """Solution app tests (parity surface: reference tests/test_solutions.py)."""
 
 import numpy as np
+import pytest
 
 from yolo_ad_refine_tpu.engine.results import Results
 from yolo_ad_refine_tpu.solutions import (
@@ -129,6 +130,7 @@ class TestAnalytics:
             assert frame.ndim == 3 and frame.shape[-1] == 3 and frame.dtype == np.uint8
         assert an.totals == [1, 2, 3]
 
+    @pytest.mark.slow
     def test_rolling_window(self):
         from yolo_ad_refine_tpu.solutions import Analytics
         from yolo_ad_refine_tpu.solutions.analytics import MAX_POINTS

@@ -11,6 +11,7 @@ REF = Path("/root/reference")
 
 
 @pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+@pytest.mark.slow
 def test_yolo11n_logits_parity():
     import sys
 

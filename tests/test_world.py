@@ -21,6 +21,7 @@ import jax.numpy as jnp
 REF = Path("/root/reference")
 
 
+@pytest.mark.slow
 def test_offline_text_encoder_properties():
     from yolo_ad_refine_tpu.utils.text import encode_class_names
 
@@ -35,6 +36,7 @@ def test_offline_text_encoder_properties():
     assert float(a[2] @ c[0]) > float(a[0] @ c[0])
 
 
+@pytest.mark.slow
 def test_set_classes_changes_scores():
     from yolo_ad_refine_tpu import YOLO
 
