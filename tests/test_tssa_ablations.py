@@ -1,0 +1,70 @@
+"""Ablation-variant TSSA blocks (reference block.py:1612-2357): forward
+shape/finiteness plus param-count parity against the torch reference
+classes (PSABlock_EDFFN, C2PSA_EDFFN, HierarchicalMona,
+AdaptiveTSSA_Enhanced, ProgressiveTSSA_Fusion1 and their C2 wrappers)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolo_ad_refine_tpu.nn import tssa
+
+REF = Path("/root/reference")
+
+C2_CLASSES = [
+    ("C2PSA_EDFFN", tssa.C2PSAEDFFN),
+    ("C2AdaptiveTSSA_Enhanced", tssa.C2AdaptiveTSSAEnhanced),
+    ("C2ProgressiveTSSA_Fusion1", tssa.C2ProgressiveTSSAFusion1),
+]
+
+
+def _count(variables):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables["params"]))
+
+
+@pytest.mark.parametrize("name,cls", C2_CLASSES)
+def test_forward_shape_and_finite(name, cls):
+    c = 64
+    m = cls(c2=c, n=1)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 16, 16, c)),
+                    jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = m.apply(variables, x, train=False)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_hierarchical_mona_identity_dominated():
+    # gamma starts at 1e-6, so the block is a near-identity at init
+    m = tssa.HierarchicalMona()
+    x = jnp.asarray(np.random.default_rng(1).normal(0, 1, (1, 8, 8, 64)),
+                    jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    y = m.apply(variables, x, train=False)
+    assert float(jnp.abs(y - x).max()) < 1e-3
+    assert float(jnp.abs(y - x).max()) > 0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+@pytest.mark.parametrize("name,cls", C2_CLASSES)
+def test_param_count_parity(name, cls):
+    from tests.test_parity import _ensure_reference_importable
+
+    _ensure_reference_importable()
+    import ultralytics.nn.modules.block as rb
+
+    # reference C2PSA_EDFFN uses num_heads = c//64 with no floor, so the
+    # torch class itself requires c1 >= 128
+    c = 128
+    ref = getattr(rb, name)(c, c, n=1)
+    ref_n = sum(p.numel() for p in ref.parameters())
+    m = cls(c2=c, n=1)
+    x = jnp.zeros((1, 16, 16, c))
+    var_shapes = jax.eval_shape(
+        lambda: m.init(jax.random.PRNGKey(0), x, train=False))
+    assert _count(var_shapes) == ref_n, f"{name}: {_count(var_shapes)} vs {ref_n}"

@@ -44,6 +44,7 @@ HEAD_MODULES = {"Detect", "AYHead", "AYHead1", "Classify", "Segment", "Pose", "O
 WIDTH_SCALED = {
     "Conv", "DWConv", "SPPF", "SPP", "C2f", "C3", "C3k2", "C2PSA",
     "C3k2_MLCA", "C2TSSA_DYT_Mona_EDFFN", "C2SFA", "C2PTSSA",
+    "C2PSA_EDFFN", "C2AdaptiveTSSA_Enhanced", "C2ProgressiveTSSA_Fusion1",
     "nn.Conv2d", "nn.ConvTranspose2d", "C2fAttn", "GSConv",
     # conv extras + v10 blocks (nn/conv_extras.py)
     "Conv2", "LightConv", "Focus", "GhostConv", "RepConv",
@@ -52,7 +53,7 @@ WIDTH_SCALED = {
 # CSP-family modules that receive the repeat count as constructor arg n
 REPEAT_MODULES = {
     "C2f", "C3", "C3k2", "C2PSA", "C3k2_MLCA", "C2TSSA_DYT_Mona_EDFFN", "C2SFA", "C2PTSSA",
-    "C2fCIB",
+    "C2fCIB", "C2PSA_EDFFN", "C2AdaptiveTSSA_Enhanced", "C2ProgressiveTSSA_Fusion1",
 }
 
 
@@ -242,13 +243,18 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
                 cls = B.C3k2 if name == "C3k2" else B.C3k2MLCA
                 module = cls(c2=c2, n=n, c3k=c3k, e=e, shortcut=shortcut, dtype=dtype)
                 n = 1
-            elif name in ("C2PSA", "C2PTSSA", "C2TSSA_DYT_Mona_EDFFN", "C2SFA"):
+            elif name in ("C2PSA", "C2PTSSA", "C2TSSA_DYT_Mona_EDFFN", "C2SFA",
+                          "C2PSA_EDFFN", "C2AdaptiveTSSA_Enhanced",
+                          "C2ProgressiveTSSA_Fusion1"):
                 e = rest[0] if rest else 0.5
                 cls = {
                     "C2PSA": B.C2PSA,
                     "C2PTSSA": T.C2PTSSA,
                     "C2TSSA_DYT_Mona_EDFFN": T.C2TSSADyTMonaEDFFN,
                     "C2SFA": T.C2SFA,
+                    "C2PSA_EDFFN": T.C2PSAEDFFN,
+                    "C2AdaptiveTSSA_Enhanced": T.C2AdaptiveTSSAEnhanced,
+                    "C2ProgressiveTSSA_Fusion1": T.C2ProgressiveTSSAFusion1,
                 }[name]
                 module = cls(c2=c2, n=n, e=e if isinstance(e, float) else 0.5, dtype=dtype)
                 n = 1

@@ -420,3 +420,167 @@ class C2SFA(C2PSA):
 
     def inner_block(self, c: int, i: int):
         return ProgressiveTSSAFusion0(c, dtype=self.dtype, name=f"m{i}")
+
+
+# ---------------------------------------------------------------------------
+# Remaining ablation variants (dead in the reference's active path but part
+# of its shipped module surface): PSABlock_EDFFN/C2PSA_EDFFN (block.py:1612,
+# 1618), HierarchicalMona (1782), AdaptiveTSSA_Enhanced (1901) /
+# C2AdaptiveTSSA_Enhanced (2033), ProgressiveFeatureFusion1 (2206, identical
+# body to ProgressiveFeatureFusion), ProgressiveTSSA_Fusion1 (2285) /
+# C2ProgressiveTSSA_Fusion1 (2339).
+# ---------------------------------------------------------------------------
+
+
+class PSABlockEDFFN(nn.Module):
+    """PSABlock whose conv-FFN is replaced by EDFFN (reference block.py:1612)."""
+
+    c: int
+    attn_ratio: float = 0.5
+    num_heads: int = 4
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from yolo_ad_refine_tpu.nn.block import Attention
+
+        a = Attention(self.c, self.num_heads, self.attn_ratio,
+                      dtype=self.dtype, name="attn")(x, train)
+        x = x + a if self.shortcut else a
+        f = EDFFN(self.c, 2, dtype=self.dtype, name="ffn")(x, train)
+        return x + f if self.shortcut else f
+
+
+@register(name="C2PSA_EDFFN")
+class C2PSAEDFFN(C2PSA):
+    """C2PSA with PSABlock_EDFFN blocks (reference block.py:1618)."""
+
+    def inner_block(self, c: int, i: int):
+        return PSABlockEDFFN(c, 0.5, max(1, c // 64), dtype=self.dtype, name=f"m{i}")
+
+
+class HierarchicalMona(nn.Module):
+    """Multi-level Mona adapter pyramid (reference block.py:1782-1899):
+    each level projects down (halving channels, floor 32), runs MonaOp,
+    projects back up + channel LayerNorm; levels chained by concat+1x1
+    fusion, combined by learned per-level weights, gated by a tiny gamma."""
+
+    hierarchy_levels: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        final_w = self.param(
+            "final_weights",
+            nn.initializers.constant(1.0 / self.hierarchy_levels),
+            (self.hierarchy_levels,), jnp.float32)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (c,), jnp.float32)
+
+        identity = x
+        outs = []
+        current = x
+        for lv in range(self.hierarchy_levels):
+            next_dim = max(32, c // (2 ** lv))
+            y = conv2d(current, next_dim, 1, dtype=self.dtype,
+                       name=f"level_processors_{lv}_project_down")
+            y = MonaOp(dtype=self.dtype, name=f"level_processors_{lv}_mona_op")(y, train)
+            y = conv2d(y, c, 1, dtype=self.dtype,
+                       name=f"level_processors_{lv}_project_up")
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"level_processors_{lv}_norm")(y)
+            outs.append(y)
+            if lv < self.hierarchy_levels - 1:
+                fused = jnp.concatenate([current, y], axis=-1)
+                current = conv2d(fused, c, 1, dtype=self.dtype,
+                                 name=f"level_fusion_{lv}")
+        weighted = sum(final_w[i].astype(x.dtype) * outs[i] for i in range(len(outs)))
+        return identity + weighted * gamma.astype(x.dtype)
+
+
+class AdaptiveTSSAEnhanced(nn.Module):
+    """AdaptiveDyT + cross-scale TSSA + HierarchicalMona + gated EDFFN
+    (reference block.py:1901-2031)."""
+
+    c: int
+    num_heads: int = 4
+    shortcut: bool = True
+    scales: tuple = (1, 2, 4)
+    hierarchy_levels: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        y = AdaptiveDynamicTanh(len(self.scales), dtype=self.dtype, name="dyt1")(x, train)
+        attn = CrossScaleAttentionTSSA(
+            c, self.num_heads, self.scales, dtype=self.dtype, name="attn")(y, train)
+        attn = attn.reshape(b, h, w, c)
+        x = x + attn if self.shortcut else attn
+
+        x = HierarchicalMona(self.hierarchy_levels, dtype=self.dtype, name="mona1")(x, train)
+
+        y = AdaptiveDynamicTanh(len(self.scales), dtype=self.dtype, name="dyt2")(x, train)
+        f = EDFFN(c, 2, dtype=self.dtype, name="ffn")(y, train)
+        gap = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = conv2d(gap, c // 4, 1, dtype=self.dtype, name="feature_gate_1")
+        g = nn.relu(g)
+        g = conv2d(g, c, 1, dtype=self.dtype, name="feature_gate_3")
+        f = f * nn.sigmoid(g)
+        x = x + f if self.shortcut else f
+
+        return HierarchicalMona(self.hierarchy_levels, dtype=self.dtype, name="mona2")(x, train)
+
+
+@register(name="C2AdaptiveTSSA_Enhanced")
+class C2AdaptiveTSSAEnhanced(C2PSA):
+    """C2PSA with AdaptiveTSSA_Enhanced blocks (reference block.py:2033-2047)."""
+
+    def inner_block(self, c: int, i: int):
+        return AdaptiveTSSAEnhanced(c, num_heads=max(1, c // 64),
+                                    dtype=self.dtype, name=f"m{i}")
+
+
+# Identical module body to ProgressiveFeatureFusion (the reference keeps a
+# verbatim duplicate at block.py:2206 for the _Fusion1 family).
+ProgressiveFeatureFusion1 = ProgressiveFeatureFusion
+
+
+class ProgressiveTSSAFusion1(nn.Module):
+    """PTSSA variant with GroupNorm attention input and a 4x EDFFN
+    (reference block.py:2285-2336)."""
+
+    c: int
+    num_heads: int = 4
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        rw1 = self.param("res_w1", nn.initializers.constant(0.1), (), jnp.float32)
+        rw2 = self.param("res_w2", nn.initializers.constant(0.1), (), jnp.float32)
+
+        res1 = x
+        x = ProgressiveFeatureFusion1(dtype=self.dtype, name="feature_enhancement1")(x, train)
+        y = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, name="attn_norm")(x)
+        attn = CrossScaleAttentionTSSA(
+            c, self.num_heads, dtype=self.dtype, name="attn")(y, train)
+        attn = attn.reshape(b, h, w, c)
+        x = res1 + attn * rw1.astype(x.dtype) if self.shortcut else attn
+
+        res2 = x
+        x = ProgressiveFeatureFusion1(dtype=self.dtype, name="feature_enhancement2")(x, train)
+        f = EDFFN(c, 4, dtype=self.dtype, name="ffn")(x, train)
+        return res2 + f * rw2.astype(x.dtype) if self.shortcut else f
+
+
+@register(name="C2ProgressiveTSSA_Fusion1")
+class C2ProgressiveTSSAFusion1(C2PSA):
+    """C2PSA with ProgressiveTSSA_Fusion1 blocks, 32-ch heads
+    (reference block.py:2339-2357)."""
+
+    def inner_block(self, c: int, i: int):
+        return ProgressiveTSSAFusion1(c, num_heads=max(1, c // 32),
+                                      dtype=self.dtype, name=f"m{i}")
