@@ -28,6 +28,9 @@ from yolo_ad_refine_tpu.ops.deform_pallas import (  # noqa: E402
 from yolo_ad_refine_tpu.ops.deform_mxu import (  # noqa: E402
     modulated_deform_conv2d_mxu,
 )
+from yolo_ad_refine_tpu.ops.deform_mxu2 import (  # noqa: E402
+    modulated_deform_conv2d_mxu2,
+)
 
 LEVELS = {"P3": (80, 80), "P4": (40, 40), "P5": (20, 20)}
 C = 64
@@ -81,6 +84,10 @@ def main():
             x, o, m, w, 3),
         "mxu": lambda x, o, m, w: modulated_deform_conv2d_mxu(x, o, m, w, 3),
         "mxu16": lambda x, o, m, w: modulated_deform_conv2d_mxu(
+            x.astype(jnp.bfloat16), o, m, w, 3).astype(jnp.float32),
+        "mxu2": lambda x, o, m, w: modulated_deform_conv2d_mxu2(
+            x, o, m, w, 3),
+        "mxu216": lambda x, o, m, w: modulated_deform_conv2d_mxu2(
             x.astype(jnp.bfloat16), o, m, w, 3).astype(jnp.float32),
         "exact16": lambda x, o, m, w: modulated_deform_conv2d(
             x.astype(jnp.bfloat16), o, m, w).astype(jnp.float32),
