@@ -48,29 +48,54 @@ def load_torch_baseline() -> dict:
 
 
 def bench_infer(model, variables):
-    @jax.jit
-    def forward(x):
-        y, _ = model.graph.apply(variables, x, train=False)
-        return y
-
-    x = jnp.asarray(
+    """Eval forward, chained-truth method: k data-dependent iterations in ONE
+    executable (fold sum(y)*0 back into the input) so the axon tunnel cannot
+    coalesce identical dispatches (docs/performance.md "How to measure")."""
+    x0 = jnp.asarray(
         np.random.default_rng(0).random((BATCH, IMGSZ, IMGSZ, 3), dtype=np.float32),
         dtype=jnp.bfloat16,
     )
+
+    def step(c):
+        y, _ = model.graph.apply(variables, x0 + c.astype(x0.dtype) * 0, train=False)
+        return jnp.sum(y).astype(jnp.float32) * 1e-12 + c
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def run_k(c0, k):
+        return jax.lax.fori_loop(0, k, lambda i, c: step(c), c0)
+
+    def timed(k):
+        t0 = time.perf_counter()
+        float(run_k(jnp.float32(1e-6), k))
+        return time.perf_counter() - t0
+
+    k = ITERS
     t_compile = time.perf_counter()
-    for _ in range(WARMUP):
-        jax.block_until_ready(forward(x))
+    timed(1)
+    timed(k)
     print(f"infer compile+warmup {time.perf_counter() - t_compile:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        y = forward(x)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / ITERS
+    samples = []
+    for _ in range(3):
+        t1 = timed(1)
+        tk = timed(k)
+        samples.append((tk - t1) / (k - 1))
+    dt = float(np.median(samples))
     return BATCH / dt, dt / BATCH * 1000
 
 
 def bench_train_step(model):
-    """One full train step (fwd+loss+bwd+SGD+EMA) at bs=16/640."""
+    """One full train step (fwd+loss+bwd+SGD+EMA) at bs=16/640.
+
+    Chained-truth method (docs/performance.md): k dependent steps inside ONE
+    executable (the params carry forward, so nothing coalesces), timed at
+    k=1 vs k=K with a forced readback; the difference cancels dispatch and
+    the axon tunnel's ~28 ms/readback RTT that a per-iteration-readback loop
+    would add to every step.
+    """
+    from functools import partial
+
     from yolo_ad_refine_tpu.train.loss import DetectionLoss
     from yolo_ad_refine_tpu.train.optim import build_optimizer
     from yolo_ad_refine_tpu.train.step import TrainState, make_train_step
@@ -80,7 +105,7 @@ def bench_train_step(model):
     tx, _, _ = build_optimizer(model.variables["params"], lr0=0.01, epochs=100,
                                nb=100, batch=TRAIN_BATCH, nbs=TRAIN_BATCH)
     state = TrainState.create(model.variables, tx)
-    step = jax.jit(make_train_step(model.graph, loss_fn, tx), donate_argnums=0)
+    tstep = make_train_step(model.graph, loss_fn, tx)
 
     r = np.random.default_rng(0)
     batch = {
@@ -90,15 +115,32 @@ def bench_train_step(model):
                            (TRAIN_BATCH, max_boxes, 1)),
         "mask": jnp.ones((TRAIN_BATCH, max_boxes, 1), jnp.float32),
     }
+    rng = jax.random.PRNGKey(0)
+
+    @partial(jax.jit, static_argnums=1)
+    def run_k(s, k):
+        def body(i, s):
+            s2, _ = tstep(s, batch, jax.random.fold_in(rng, i))
+            return s2
+        return jax.lax.fori_loop(0, k, body, s)
+
+    def timed(k):
+        t0 = time.perf_counter()
+        s = run_k(state, k)
+        float(jnp.sum(jax.tree.leaves(s.params)[0]))  # forced completion
+        return time.perf_counter() - t0
+
+    k = TRAIN_ITERS + 1
     t_compile = time.perf_counter()
-    state, metrics = step(state, batch, jax.random.PRNGKey(0))
-    float(metrics["loss"])  # forced host readback: donation-safe completion
-    print(f"train compile {time.perf_counter() - t_compile:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    for i in range(TRAIN_ITERS):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
-        float(metrics["loss"])  # per-iter readback (donated-buffer timing trap)
-    return (time.perf_counter() - t0) / TRAIN_ITERS * 1000
+    timed(1)
+    timed(k)
+    print(f"train compile+first {time.perf_counter() - t_compile:.1f}s", file=sys.stderr)
+    samples = []
+    for _ in range(3):
+        t1 = timed(1)
+        tk = timed(k)
+        samples.append((tk - t1) / (k - 1) * 1000)
+    return float(np.median(samples))
 
 
 def _arm_backend_watchdog(seconds: int = 900):
