@@ -58,6 +58,7 @@ def test_two_process_mesh(tmp_path):
     script.write_text(CHILD)
     procs = []
     for pid in range(2):
+        repo = Path(__file__).parent.parent
         env = dict(os.environ)
         env.update({
             "YAT_FORCE_CPU": "1",
@@ -66,6 +67,9 @@ def test_two_process_mesh(tmp_path):
             "YAT_COORDINATOR": f"127.0.0.1:{port}",
             "YAT_NUM_PROCESSES": "2",
             "YAT_PROCESS_ID": str(pid),
+            # the child runs as `python /tmp/.../child.py`, so the repo is
+            # not on its sys.path (script dir is) — pass it explicitly
+            "PYTHONPATH": str(repo) + os.pathsep + env.get("PYTHONPATH", ""),
         })
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env, cwd=str(Path.cwd()),

@@ -53,7 +53,7 @@ def test_hierarchical_mona_identity_dominated():
 @pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
 @pytest.mark.parametrize("name,cls", C2_CLASSES)
 def test_param_count_parity(name, cls):
-    from tests.test_parity import _ensure_reference_importable
+    from test_parity import _ensure_reference_importable
 
     _ensure_reference_importable()
     import ultralytics.nn.modules.block as rb

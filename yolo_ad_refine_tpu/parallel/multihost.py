@@ -43,7 +43,9 @@ def maybe_initialize_distributed() -> bool:
     nproc = os.environ.get("YAT_NUM_PROCESSES")
     if not coord or not nproc or int(nproc) <= 1:
         return jax.process_count() > 1
-    if jax.process_count() > 1:  # already initialized
+    # do NOT probe jax.process_count() here: it initializes the XLA backend,
+    # after which jax.distributed.initialize refuses to run
+    if jax.distributed.is_initialized():
         return True
     pid = int(os.environ.get("YAT_PROCESS_ID", "0"))
     jax.distributed.initialize(coordinator_address=coord,
