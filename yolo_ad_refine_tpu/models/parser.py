@@ -352,8 +352,9 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
                       "CascadedGroupAttention", "LocalWindowAttention",
                       "DualDomainSelectionMechanism", "EfficientAttention",
                       "BiLevelRoutingAttention",
-                      "BiLevelRoutingAttention_nchw"):
+                      "BiLevelRoutingAttention_nchw", "DSAN", "DSA"):
             from yolo_ad_refine_tpu.nn import attention_zoo  # noqa: F401
+            from yolo_ad_refine_tpu.nn import dsan  # noqa: F401
             from yolo_ad_refine_tpu.nn.registry import MODULE_REGISTRY
 
             # channel-preserving gates, long tail of reference attention.py;
