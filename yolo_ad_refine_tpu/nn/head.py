@@ -483,17 +483,19 @@ class DyDCNv2(nn.Module):
     The deformable sampling replaces mmcv.ops.ModulatedDeformConv2d. Three
     implementations, all with bilinear/zero-pad mmcv semantics:
 
-    - ops/deform_mxu.py (auto on TPU, train AND eval): MXU-separable Pallas
-      kernel, exact for |offset| <= radius (clipped beyond). Fastest both
-      directions (flagship DCN 39 -> 13 ms fwd bs32; backward all-matmul).
+    - ops/deform_mxu2.py (auto on TPU, train AND eval): x-tiled
+      fused-bilinear MXU kernel, exact for |offset| <= radius (clipped
+      beyond). Fastest both directions (flagship DCN fwd 13 -> ~4.9 ms
+      bs32: 3.71/1.03/0.11 at P3/P4/P5; fwd+bwd chain ~15 ms vs v1's ~53).
       Using ONE bounded kernel for train and eval keeps their sampling
       semantics identical; the trainer's dcn_offset_max guard monitors the
       clip bound.
+    - ops/deform_mxu.py: MXU-separable kernel v1 (opt-in fallback).
     - ops/deform_pallas.py: previous bounded-window VPU kernel (opt-in).
     - ops/deform.py: exact unbounded XLA gather; default off-TPU (CPU tests
       stay bit-exact) and the semantic reference for parity tests.
 
-    Override with YAT_DCN_IMPL={mxu,pallas,exact}.
+    Override with YAT_DCN_IMPL={mxu2,mxu,pallas,exact}.
     """
 
     out_channels: int
@@ -513,7 +515,7 @@ class DyDCNv2(nn.Module):
         )
         impl = os.environ.get("YAT_DCN_IMPL", "auto")
         if impl == "auto":
-            impl = "mxu" if jax.default_backend() == "tpu" else "exact"
+            impl = "mxu2" if jax.default_backend() == "tpu" else "exact"
         if impl == "mxu":
             from yolo_ad_refine_tpu.ops.deform_mxu import (
                 modulated_deform_conv2d_mxu,

@@ -21,11 +21,17 @@ Fourth-generation TPU implementation of the op behind the reference's
    full-width form on an 80-wide level.
 
 Layout discipline (the part that makes it fast — Mosaic relayouts are real
-copies): W2 is built TRANSPOSED, (L, P) with P=128 on the lane dimension,
-as an outer product of wyT (d_win, P) and wxT (Wp, P); collapsing
-(d_win, Wp, P) -> (L, P) merges leading dims over an 8-aligned sublane dim
-and is free. The same is true for the X window (d_win, Wp, C) -> (L, C).
-Every gradient is likewise one matmul per tap:
+copies, and lane-dim-changing shape casts don't lower at all: Mosaic
+rejects ``tpu.reshape (1,8,16) -> (1,128)``, the (CH,TW)->(P,) merge).
+Therefore EVERY (CH, TW) <-> P transpose happens on the host: offsets and
+masks arrive as (..., nch, 18|9, P) with P=CH*TW on the lane dim (fwd) or
+(..., nch, P, 9) with P on sublanes (bwd, where the mask scales (P, C)
+rows), the incoming gradient as (..., nch, P, Cout), and the kernel writes
+its outputs in (nch, P, Cout) / (nch, 2*KK, P) / (nch, P, KK) layouts that
+the host un-transposes. In-kernel iotas are built directly at (1, P) via
+lane %/ TW. The only in-kernel reshapes merge or split dims at or above an
+8-aligned sublane dim — (d_win, Wp, P) -> (L, P), (L, C) -> (d_win, Wp, C)
+— which are free. Every gradient is likewise one matmul per tap:
 
     sampled_t = W2T^T @ Xwin                      (P, C)    K = L
     dXwin_t   = W2T @ (m * gs_t)                  (L, C)    K = P
@@ -71,33 +77,38 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
+def _lane_iotas(ch, tw):
+    """x(p), y(p) as (1, P) lane vectors; no (CH, TW) -> P shape cast."""
+    p = ch * tw
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    x_of_pT = jnp.remainder(lane, tw).astype(jnp.float32)
+    y_of_pT = (lane // tw).astype(jnp.float32)
+    return x_of_pT, y_of_pT
+
+
 def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, tw, s,
                 radius, cout, ch):
-    """One (image, x-tile). xs (1, 1, Hc+2s, Wp, C), off (1, 1, Hc, TW, 18)
-    f32, mask (1, 1, Hc, TW, 9) f32, w (KK*C, Cout), out (1, 1, Hc, TW, Cout)."""
+    """One (image, x-tile). xs (1, 1, Hc+2s, Wp, C); off (1, 1, nch, 18, P)
+    f32, mask (1, 1, nch, 9, P) f32 — P on lanes; w (KK*C, Cout);
+    out (1, 1, nch, P, Cout)."""
     c = xs_ref.shape[-1]
     wp = xs_ref.shape[-2]
     d_win = ch + 2 * radius + 2
     p = ch * tw
 
-    # transposed iotas: lane dim = p everywhere
-    x_of_pT = jax.lax.broadcasted_iota(
-        jnp.int32, (1, ch, tw), 2).astype(jnp.float32).reshape(1, p)
-    y_of_pT = jax.lax.broadcasted_iota(
-        jnp.int32, (1, ch, tw), 1).astype(jnp.float32).reshape(1, p)
+    x_of_pT, y_of_pT = _lane_iotas(ch, tw)
     j_T = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0).astype(jnp.float32)
     d_T = jax.lax.broadcasted_iota(jnp.int32, (d_win, 1), 0).astype(jnp.float32)
 
     def chunk_body(ci, _):
-        y0 = ci * ch
-        off = off_ref[0, 0, pl.ds(y0, ch), :, :]              # (CH, TW, 18)
-        msk = mask_ref[0, 0, pl.ds(y0, ch), :, :]             # (CH, TW, 9)
+        off = off_ref[0, 0, ci]                               # (2*KK, P)
+        msk = mask_ref[0, 0, ci]                              # (KK, P)
         cols = []
         for t in range(KK):
             ty, tx = t // K - 1, t % K - 1
-            offyT = off[:, :, 2 * t].reshape(1, p)
-            offxT = off[:, :, 2 * t + 1].reshape(1, p)
-            mT = msk[:, :, t].reshape(1, p)
+            offyT = off[2 * t].reshape(1, p)
+            offxT = off[2 * t + 1].reshape(1, p)
+            mT = msk[t].reshape(1, p)
 
             # wxT[j, p] = hat(offx + tx + s + x(p) - j); fold the mask here
             wxT = _hat(offxT + (tx + s) + x_of_pT - j_T) * mT  # (Wp, P)
@@ -105,7 +116,7 @@ def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, tw, s,
             wyT = _hat(ayT - d_T)                              # (d_win, P)
             w2T = (wyT[:, None, :] * wxT[None, :, :]).reshape(d_win * wp, p)
 
-            base = y0 + ty + (s - radius - 1)
+            base = ci * ch + ty + (s - radius - 1)
             xwin = xs_ref[0, 0, pl.ds(base, d_win), :, :].reshape(d_win * wp, c)
             cols.append(jax.lax.dot_general(
                 w2T.astype(xs_ref.dtype), xwin,
@@ -116,20 +127,20 @@ def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, tw, s,
             sampled.astype(w_ref.dtype), w_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (P, Cout)
-        out_ref[0, 0, pl.ds(y0, ch), :, :] = out.reshape(ch, tw, cout).astype(
-            out_ref.dtype)
+        out_ref[0, 0, ci] = out.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, hc // ch, chunk_body, 0, unroll=False)
 
 
-def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
+def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
                 dxs_ref, doff_ref, dmask_ref, dw_ref, *, hc, tw, s,
                 radius, cout, ch):
     """Gradients for one (image, x-tile); every heavy term is one matmul.
-    g (1, 1, Hc, TW, Cout) f32. Outputs: dxs (1, 1, Hc+2s, Wp, C) f32,
-    doff (1, 1, Hc, TW, 18) f32, dmask (1, 1, Hc, TW, 9) f32,
-    dw (1, 1, KK*C, Cout) f32."""
+    off (1, 1, nch, 18, P) f32 (P on lanes); maskp (1, 1, nch, P, 9) f32
+    (P on sublanes); g (1, 1, nch, P, Cout) f32. Outputs:
+    dxs (1, 1, Hc+2s, Wp, C) f32, doff (1, 1, nch, 18, P) f32,
+    dmask (1, 1, nch, P, 9) f32, dw (1, 1, KK*C, Cout) f32."""
     c = xs_ref.shape[-1]
     wp = xs_ref.shape[-2]
     d_win = ch + 2 * radius + 2
@@ -139,30 +150,26 @@ def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
         (xs_ref.shape[2], wp, c), jnp.float32)
     dw_ref[0, 0, :, :] = jnp.zeros((KK * c, cout), jnp.float32)
 
-    x_of_pT = jax.lax.broadcasted_iota(
-        jnp.int32, (1, ch, tw), 2).astype(jnp.float32).reshape(1, p)
-    y_of_pT = jax.lax.broadcasted_iota(
-        jnp.int32, (1, ch, tw), 1).astype(jnp.float32).reshape(1, p)
+    x_of_pT, y_of_pT = _lane_iotas(ch, tw)
     j_T = jax.lax.broadcasted_iota(jnp.int32, (wp, 1), 0).astype(jnp.float32)
     d_T = jax.lax.broadcasted_iota(jnp.int32, (d_win, 1), 0).astype(jnp.float32)
 
     def chunk_body(ci, _):
-        y0 = ci * ch
-        off = off_ref[0, 0, pl.ds(y0, ch), :, :]
-        msk = mask_ref[0, 0, pl.ds(y0, ch), :, :]
-        gflat = g_ref[0, 0, pl.ds(y0, ch), :, :].reshape(p, cout)
+        off = off_ref[0, 0, ci]                               # (2*KK, P)
+        mskp = maskp_ref[0, 0, ci]                            # (P, KK)
+        gflat = g_ref[0, 0, ci]                               # (P, Cout)
         # g through the conv weight for ALL taps at once: (P, KK*C)
         gs_all = jax.lax.dot_general(
             gflat, w_ref[...],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        doff_cols = []
+        doff_rows = []
         dmask_cols = []
         for t in range(KK):
             ty, tx = t // K - 1, t % K - 1
-            offyT = off[:, :, 2 * t].reshape(1, p)
-            offxT = off[:, :, 2 * t + 1].reshape(1, p)
-            mT = msk[:, :, t].reshape(1, p)
+            offyT = off[2 * t].reshape(1, p)
+            offxT = off[2 * t + 1].reshape(1, p)
+            mP = mskp[:, t].reshape(p, 1)                      # (P, 1)
 
             uxT = offxT + (tx + s) + x_of_pT - j_T             # (Wp, P)
             wxT = _hat(uxT)
@@ -171,7 +178,7 @@ def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
             wyT = _hat(adT)
             w2T = (wyT[:, None, :] * wxT[None, :, :]).reshape(d_win * wp, p)
 
-            base = y0 + ty + (s - radius - 1)
+            base = ci * ch + ty + (s - radius - 1)
             xwin = xs_ref[0, 0, pl.ds(base, d_win), :, :].astype(
                 jnp.float32).reshape(d_win * wp, c)
 
@@ -181,7 +188,7 @@ def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # (P, C)
             gs = gs_all[:, t * c : (t + 1) * c]                # (P, C)
-            gsm = gs * mT.reshape(p, 1)
+            gsm = gs * mP
 
             # dX window: W2T @ (m * gs) — masked wx NOT folded into w2T here,
             # so fold the mask into gsm (identical algebra)
@@ -199,20 +206,20 @@ def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
             dw2T = dw2T.reshape(d_win, wp, p)
             dwyT = jnp.sum(dw2T * wxT[None, :, :], axis=1)     # (d_win, P)
             dwxT = jnp.sum(dw2T * wyT[:, None, :], axis=0)     # (Wp, P)
-            doffyT = jnp.sum(dwyT * _dhat(adT), axis=0)        # (P,)
-            doffxT = jnp.sum(dwxT * _dhat(uxT), axis=0)        # (P,)
-            dmaskT = jnp.sum(sampled * gs, axis=-1)            # (P,)
-            doff_cols.append(doffyT.reshape(ch, tw, 1))
-            doff_cols.append(doffxT.reshape(ch, tw, 1))
-            dmask_cols.append(dmaskT.reshape(ch, tw, 1))
+            doff_rows.append(
+                jnp.sum(dwyT * _dhat(adT), axis=0, keepdims=True))   # (1, P)
+            doff_rows.append(
+                jnp.sum(dwxT * _dhat(uxT), axis=0, keepdims=True))   # (1, P)
+            dmask_cols.append(
+                jnp.sum(sampled * gs, axis=-1, keepdims=True))       # (P, 1)
 
             # dW_t = (m * sampled)^T @ g
             dw_ref[0, 0, t * c : (t + 1) * c, :] += jax.lax.dot_general(
-                sampled * mT.reshape(p, 1), gflat,
+                sampled * mP, gflat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        doff_ref[0, 0, pl.ds(y0, ch), :, :] = jnp.concatenate(doff_cols, -1)
-        dmask_ref[0, 0, pl.ds(y0, ch), :, :] = jnp.concatenate(dmask_cols, -1)
+        doff_ref[0, 0, ci] = jnp.concatenate(doff_rows, axis=0)   # (2KK, P)
+        dmask_ref[0, 0, ci] = jnp.concatenate(dmask_cols, axis=-1)  # (P, KK)
         return 0
 
     jax.lax.fori_loop(0, hc // ch, chunk_body, 0, unroll=False)
@@ -224,26 +231,36 @@ def _bwd_kernel(xs_ref, off_ref, mask_ref, w_ref, g_ref,
 
 
 def _prep(x, offset, mask, radius, ch, tw):
-    """Pad + restack into overlapping column slabs.
+    """Pad + restack into overlapping column slabs, with the (CH, TW) -> P
+    flattening done HERE (Mosaic cannot shape-cast into the lane dim).
 
-    Returns (xt, offt, maskt, (s, hc, wp, ntx)) where xt is
+    Returns (xt, offt, maskt, maskp, (s, hc, wp, ntx)) where xt is
     (B, ntx, Hc+2s, Wp, C) with slab i covering padded columns
-    [i*TW, i*TW + Wp)."""
+    [i*TW, i*TW + Wp); offt is (B, ntx, nch, 2*KK, P) with P = CH*TW on the
+    lane dim; maskt likewise (B, ntx, nch, KK, P); maskp is the
+    sublane-major copy (B, ntx, nch, P, KK) the backward kernel scales
+    (P, C) rows with."""
     b, h, w, c = x.shape
     s = radius + 2
     hc = _round_up(h, ch)
     wc = _round_up(w, tw)
     wp = _round_up(tw + 2 * s, 8)
     ntx = wc // tw
+    nch = hc // ch
     xs = jnp.pad(x, ((0, 0), (s, s + (hc - h)), (s, s + (wc - w) + (wp - tw - 2 * s)), (0, 0)))
     xt = jnp.stack([xs[:, :, i * tw : i * tw + wp, :] for i in range(ntx)], 1)
     offp = jnp.pad(offset.astype(jnp.float32),
                    ((0, 0), (0, hc - h), (0, wc - w), (0, 0)))
-    offt = offp.reshape(b, hc, ntx, tw, 2 * KK).transpose(0, 2, 1, 3, 4)
-    maskp = jnp.pad(mask.astype(jnp.float32),
-                    ((0, 0), (0, hc - h), (0, wc - w), (0, 0)))
-    maskt = maskp.reshape(b, hc, ntx, tw, KK).transpose(0, 2, 1, 3, 4)
-    return xt, offt, maskt, (s, hc, wp, ntx)
+    offt = offp.reshape(b, nch, ch, ntx, tw, 2 * KK).transpose(
+        0, 3, 1, 5, 2, 4).reshape(b, ntx, nch, 2 * KK, ch * tw)
+    maskq = jnp.pad(mask.astype(jnp.float32),
+                    ((0, 0), (0, hc - h), (0, wc - w), (0, 0))).reshape(
+        b, nch, ch, ntx, tw, KK)
+    maskt = maskq.transpose(0, 3, 1, 5, 2, 4).reshape(
+        b, ntx, nch, KK, ch * tw)
+    maskp = maskq.transpose(0, 3, 1, 2, 4, 5).reshape(
+        b, ntx, nch, ch * tw, KK)
+    return xt, offt, maskt, maskp, (s, hc, wp, ntx)
 
 
 _INTERPRET = False  # flipped by tests on CPU
@@ -262,7 +279,10 @@ def _fwd_impl(x, offset, mask, weight, radius):
     b, h, w, c = x.shape
     cout = weight.shape[-1]
     offset = jnp.clip(offset, -float(radius), float(radius))
-    xt, offt, maskt, (s, hc, wp, ntx) = _prep(x, offset, mask, radius, CH, TW)
+    xt, offt, maskt, _, (s, hc, wp, ntx) = _prep(x, offset, mask, radius,
+                                                 CH, TW)
+    nch = hc // CH
+    p = CH * TW
     wflat = weight.reshape(KK * c, cout).astype(jnp.float32)
 
     kernel = partial(_fwd_kernel, hc=hc, tw=TW, s=s, radius=radius,
@@ -275,13 +295,13 @@ def _fwd_impl(x, offset, mask, weight, radius):
         grid=(b, ntx),
         in_specs=[
             spec(hc + 2 * s, wp, c),
-            spec(hc, TW, 2 * KK),
-            spec(hc, TW, KK),
+            spec(nch, 2 * KK, p),
+            spec(nch, KK, p),
             pl.BlockSpec((KK * c, cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=spec(hc, TW, cout),
-        out_shape=jax.ShapeDtypeStruct((b, ntx, hc, TW, cout), x.dtype),
+        out_specs=spec(nch, p, cout),
+        out_shape=jax.ShapeDtypeStruct((b, ntx, nch, p, cout), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * ntx * hc * TW * KK
             * ((CH + 2 * radius + 2) * wp * c // CH + c * cout),
@@ -295,7 +315,8 @@ def _fwd_impl(x, offset, mask, weight, radius):
         interpret=_INTERPRET,
     )(xt, offt, maskt, wflat)
 
-    out = out_t.transpose(0, 2, 1, 3, 4).reshape(b, hc, ntx * TW, cout)
+    out = out_t.reshape(b, ntx, nch, CH, TW, cout).transpose(
+        0, 2, 3, 1, 4, 5).reshape(b, hc, ntx * TW, cout)
     return out[:, :h, :w, :].astype(x.dtype), (x, offset, mask, weight)
 
 
@@ -308,11 +329,15 @@ def _bwd_rule(radius, res, gout):
     x, offset, mask, weight = res        # offset here is already clipped
     b, h, w, c = x.shape
     cout = weight.shape[-1]
-    xt, offt, maskt, (s, hc, wp, ntx) = _prep(x, offset, mask, radius, CH, TW)
+    xt, offt, _, maskp, (s, hc, wp, ntx) = _prep(x, offset, mask, radius,
+                                                 CH, TW)
+    nch = hc // CH
+    p = CH * TW
     wflat = weight.reshape(KK * c, cout).astype(jnp.float32)
     gpad = jnp.pad(gout.astype(jnp.float32),
                    ((0, 0), (0, hc - h), (0, ntx * TW - w), (0, 0)))
-    gt = gpad.reshape(b, hc, ntx, TW, cout).transpose(0, 2, 1, 3, 4)
+    gt = gpad.reshape(b, nch, CH, ntx, TW, cout).transpose(
+        0, 3, 1, 2, 4, 5).reshape(b, ntx, nch, p, cout)
 
     kernel = partial(_bwd_kernel, hc=hc, tw=TW, s=s, radius=radius,
                      cout=cout, ch=CH)
@@ -324,29 +349,29 @@ def _bwd_rule(radius, res, gout):
         grid=(b, ntx),
         in_specs=[
             spec(hc + 2 * s, wp, c),
-            spec(hc, TW, 2 * KK),
-            spec(hc, TW, KK),
+            spec(nch, 2 * KK, p),
+            spec(nch, p, KK),
             pl.BlockSpec((KK * c, cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            spec(hc, TW, cout),
+            spec(nch, p, cout),
         ],
         out_specs=[
             spec(hc + 2 * s, wp, c),
-            spec(hc, TW, 2 * KK),
-            spec(hc, TW, KK),
+            spec(nch, 2 * KK, p),
+            spec(nch, p, KK),
             spec(KK * c, cout),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ntx, hc + 2 * s, wp, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, ntx, hc, TW, 2 * KK), jnp.float32),
-            jax.ShapeDtypeStruct((b, ntx, hc, TW, KK), jnp.float32),
+            jax.ShapeDtypeStruct((b, ntx, nch, 2 * KK, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, ntx, nch, p, KK), jnp.float32),
             jax.ShapeDtypeStruct((b, ntx, KK * c, cout), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_INTERPRET,
-    )(xt, offt, maskt, wflat, gt)
+    )(xt, offt, maskp, wflat, gt)
 
     # un-tile dx: slabs overlap by 2s(+alignment), so scatter-add each one
     wc = ntx * TW
@@ -356,10 +381,12 @@ def _bwd_rule(radius, res, gout):
         dxs = dxs.at[:, :, i * TW : i * TW + wp, :].add(dxt[:, i])
     dx = dxs[:, s : s + h, s : s + w, :].astype(x.dtype)
 
-    doff = dofft.transpose(0, 2, 1, 3, 4).reshape(b, hc, wc, 2 * KK)[:, :h, :w]
+    doff = dofft.reshape(b, ntx, nch, 2 * KK, CH, TW).transpose(
+        0, 2, 4, 1, 5, 3).reshape(b, hc, wc, 2 * KK)[:, :h, :w]
     inb = (jnp.abs(offset) < float(radius)).astype(doff.dtype)
     doff = (doff * inb).astype(offset.dtype)
-    dmask = dmaskt.transpose(0, 2, 1, 3, 4).reshape(b, hc, wc, KK)[:, :h, :w]
+    dmask = dmaskt.reshape(b, ntx, nch, CH, TW, KK).transpose(
+        0, 2, 3, 1, 4, 5).reshape(b, hc, wc, KK)[:, :h, :w]
     dmask = dmask.astype(mask.dtype)
     dweight = dw_b.sum((0, 1)).reshape(K, K, c, cout).astype(weight.dtype)
     return dx, doff, dmask, dweight
