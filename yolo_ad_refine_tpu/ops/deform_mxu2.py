@@ -87,7 +87,7 @@ def _lane_iotas(ch, tw):
 
 
 def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, tw, s,
-                radius, cout, ch):
+                radius, cout, ch, prec):
     """One (image, x-tile). xs (1, 1, Hc+2s, Wp, C); off (1, 1, nch, 18, P)
     f32, mask (1, 1, nch, 9, P) f32 — P on lanes; w (KK*C, Cout);
     out (1, 1, nch, P, Cout)."""
@@ -121,12 +121,14 @@ def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, tw, s,
             cols.append(jax.lax.dot_general(
                 w2T.astype(xs_ref.dtype), xwin,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))           # (P, C)
+                preferred_element_type=jnp.float32,
+                precision=prec))                               # (P, C)
         sampled = jnp.concatenate(cols, axis=-1)               # (P, KK*C)
         out = jax.lax.dot_general(
             sampled.astype(w_ref.dtype), w_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (P, Cout)
+            preferred_element_type=jnp.float32,
+            precision=prec)                                    # (P, Cout)
         out_ref[0, 0, ci] = out.astype(out_ref.dtype)
         return 0
 
@@ -135,7 +137,7 @@ def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, tw, s,
 
 def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
                 dxs_ref, doff_ref, dmask_ref, dw_ref, *, hc, tw, s,
-                radius, cout, ch):
+                radius, cout, ch, prec):
     """Gradients for one (image, x-tile); every heavy term is one matmul.
     off (1, 1, nch, 18, P) f32 (P on lanes); maskp (1, 1, nch, P, 9) f32
     (P on sublanes); g (1, 1, nch, P, Cout) f32. Outputs:
@@ -162,7 +164,8 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
         gs_all = jax.lax.dot_general(
             gflat, w_ref[...],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+                precision=prec)
         doff_rows = []
         dmask_cols = []
         for t in range(KK):
@@ -186,7 +189,8 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
             sampled = jax.lax.dot_general(
                 w2T, xwin,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (P, C)
+                preferred_element_type=jnp.float32,
+                precision=prec)            # (P, C)
             gs = gs_all[:, t * c : (t + 1) * c]                # (P, C)
             gsm = gs * mP
 
@@ -195,14 +199,16 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
             dxw = jax.lax.dot_general(
                 w2T, gsm,
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (L, C)
+                preferred_element_type=jnp.float32,
+                precision=prec)            # (L, C)
             dxs_ref[0, 0, pl.ds(base, d_win), :, :] += dxw.reshape(d_win, wp, c)
 
             # dW2T = Xwin @ gsm^T, then band-contract back to wy/wx grads
             dw2T = jax.lax.dot_general(
                 xwin, gsm,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (L, P)
+                preferred_element_type=jnp.float32,
+                precision=prec)            # (L, P)
             dw2T = dw2T.reshape(d_win, wp, p)
             dwyT = jnp.sum(dw2T * wxT[None, :, :], axis=1)     # (d_win, P)
             dwxT = jnp.sum(dw2T * wyT[:, None, :], axis=0)     # (Wp, P)
@@ -217,7 +223,8 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
             dw_ref[0, 0, t * c : (t + 1) * c, :] += jax.lax.dot_general(
                 sampled * mP, gflat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=prec)
         doff_ref[0, 0, ci] = jnp.concatenate(doff_rows, axis=0)   # (2KK, P)
         dmask_ref[0, 0, ci] = jnp.concatenate(dmask_cols, axis=-1)  # (P, KK)
         return 0
@@ -285,8 +292,13 @@ def _fwd_impl(x, offset, mask, weight, radius):
     p = CH * TW
     wflat = weight.reshape(KK * c, cout).astype(jnp.float32)
 
+    # f32 inputs ask for exact (multi-pass) MXU arithmetic so the kernel
+    # matches the exact gather at f32; the production bf16 path keeps the
+    # fast single-pass default (bf16-in is single-pass at any precision).
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     kernel = partial(_fwd_kernel, hc=hc, tw=TW, s=s, radius=radius,
-                     cout=cout, ch=CH)
+                     cout=cout, ch=CH, prec=prec)
     spec = lambda *shape: pl.BlockSpec(  # noqa: E731
         (1, 1, *shape), lambda i, j: (i, j) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
@@ -339,8 +351,10 @@ def _bwd_rule(radius, res, gout):
     gt = gpad.reshape(b, nch, CH, ntx, TW, cout).transpose(
         0, 3, 1, 2, 4, 5).reshape(b, ntx, nch, p, cout)
 
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     kernel = partial(_bwd_kernel, hc=hc, tw=TW, s=s, radius=radius,
-                     cout=cout, ch=CH)
+                     cout=cout, ch=CH, prec=prec)
     spec = lambda *shape: pl.BlockSpec(  # noqa: E731
         (1, 1, *shape), lambda i, j: (i, j) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
