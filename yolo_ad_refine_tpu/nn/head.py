@@ -485,8 +485,9 @@ class DyDCNv2(nn.Module):
 
     - ops/deform_mxu2.py (auto on TPU, train AND eval): x-tiled
       fused-bilinear MXU kernel, exact for |offset| <= radius (clipped
-      beyond). Fastest both directions (flagship DCN fwd 13 -> ~4.9 ms
-      bs32: 3.71/1.03/0.11 at P3/P4/P5; fwd+bwd chain ~15 ms vs v1's ~53).
+      beyond). Fastest both directions, measured end-to-end on the
+      flagship (chained-truth): inference 42.7 -> 26.3 ms/batch bs32,
+      full train step 212 -> 62.2 ms bs16 vs the v1 kernel.
       Using ONE bounded kernel for train and eval keeps their sampling
       semantics identical; the trainer's dcn_offset_max guard monitors the
       clip bound.
