@@ -35,7 +35,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 
-def chained(make_step, label, k=8):
+def chained(make_step, label, k=48):
     def run_k(kk):
         @jax.jit
         def go(c0):

@@ -50,7 +50,7 @@ def chained_time(make_fn, label, k=4):
     print(f"[{label}] k=1 {t1*1e3:.1f} ms, k={k} {tk*1e3:.1f} ms -> {(tk-t1)/(k-1)*1e3:.2f} ms/iter", flush=True)
 
 # (b) fwd + loss only
-vars0 = state.variables()
+vars0 = state.variables
 def fwd_loss_carry(c):
     img = batch["img"].astype(jnp.bfloat16) / 255.0 + c * 0.0
     feats, _ = model.graph.apply(vars0, img, train=True, mutable=["batch_stats"])
