@@ -57,7 +57,7 @@ def bench_infer(model, variables):
     )
 
     def step(c):
-        y, _ = model.graph.apply(variables, x0 + c.astype(x0.dtype) * 0, train=False)
+        y, _ = model.apply(variables, x0 + c.astype(x0.dtype) * 0, train=False)
         return jnp.sum(y).astype(jnp.float32) * 1e-12 + c
 
     from functools import partial

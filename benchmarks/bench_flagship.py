@@ -78,9 +78,12 @@ def main():
         variables = model.variables
 
         def step(c):
-            y, _ = model.graph.apply(
+            y, _ = model.apply(
                 variables, x0 + c.astype(x0.dtype) * 0, train=False)
             return jnp.sum(y).astype(jnp.float32) * 1e-12 + c
+
+        print(f"stem s2d rewrite: {model.stem_s2d_chans is not None and __import__('yolo_ad_refine_tpu.ops.s2d_stem', fromlist=['x']).stem_s2d_enabled()}",
+              flush=True)
 
         ms = measure(step, f"infer bs{args.batch}/{args.imgsz}", args.k)
         print(f"INFER {args.batch / ms * 1000:.1f} img/s "

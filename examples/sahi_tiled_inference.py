@@ -53,7 +53,7 @@ def sliced_predict(model, img: np.ndarray, tile: int = 640, overlap: float = 0.2
     grid = tile_grid(h, w, tile, overlap)
     batch = np.stack([img[y : y + tile, x : x + tile] for (y, x) in grid])
     x_in = jnp.asarray(batch[..., ::-1].astype(np.float32) / 255.0)
-    y, _ = m.graph.apply(m.variables, x_in, train=False)
+    y, _ = m.apply(m.variables, x_in, train=False)
     det, cnt, _ = non_max_suppression(y, conf_thres=conf, iou_thres=iou,
                                       max_det=max_det)
     det = np.asarray(det)

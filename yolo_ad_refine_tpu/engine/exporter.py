@@ -56,7 +56,7 @@ class Exporter:
         dtype = self.model.dtype
 
         def fn(x):
-            y, _ = graph.apply(variables, x.astype(dtype) / 255.0, train=False)
+            y, _ = self.model.apply(variables, x.astype(dtype) / 255.0, train=False)
             return y
 
         return fn
@@ -214,7 +214,7 @@ class AutoBackend:
 
             self.kind = "checkpoint"
             self.model = load_checkpoint(self.path)
-            self._fn = jax.jit(lambda x: self.model.graph.apply(
+            self._fn = jax.jit(lambda x: self.model.apply(
                 self.model.variables, x.astype(self.model.dtype) / 255.0, train=False)[0])
         elif self.path.suffix == ".stablehlo":
             from jax import export as jax_export

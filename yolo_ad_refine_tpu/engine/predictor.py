@@ -76,7 +76,7 @@ class DetectionPredictor:
         @jax.jit
         def forward_nms(img):
             x = img.astype(model.dtype) / 255.0
-            y, feats = model.graph.apply(variables, x, train=False)
+            y, feats = model.apply(variables, x, train=False)
             det, cnt, extras = non_max_suppression(
                 y, conf_thres=conf, iou_thres=iou, max_det=max_det,
                 agnostic=agnostic, nc=model.nc, rotated=(task == "obb"),

@@ -34,7 +34,7 @@ def track(model, source, tracker: str = "bytetrack", imgsz: int = 640, conf: flo
     @jax.jit
     def forward_nms(img):
         x = img.astype(model.dtype) / 255.0
-        y, _ = model.graph.apply(variables, x, train=False)
+        y, _ = model.apply(variables, x, train=False)
         return non_max_suppression(y, conf_thres=conf, iou_thres=iou, max_det=max_det, nc=model.nc)[:2]
 
     results = []

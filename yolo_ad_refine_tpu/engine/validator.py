@@ -98,7 +98,7 @@ class DetectionValidator:
         @partial(jax.jit, static_argnames=())
         def forward_nms(vars_, img):
             img = img.astype(model.dtype) / 255.0
-            y, feats = model.graph.apply(vars_, img, train=False)
+            y, feats = model.apply(vars_, img, train=False)
             if rtdetr:
                 # reference rtdetr/val.py postprocess: normalized xywh * imgsz
                 # -> xyxy, per-query max score/class, conf-sorted, NO NMS

@@ -50,7 +50,7 @@ class DetectionGraph(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, dn: dict | None = None,
-                 text_feats=None):
+                 text_feats=None, start_at: int = 0, full_input_h: int | None = None):
         # dn: optional contrastive-denoising group routed to an RTDETRDecoder
         # head (train/rtdetr.py make_cdn_group); text_feats: optional (nc,
         # embed) class text embeddings routed to a WorldDetect head (the
@@ -58,12 +58,17 @@ class DetectionGraph(nn.Module):
         # to the deterministic hashed-n-gram encoder in utils/text.py, or
         # callers pass embeddings from any encoder). Both kwargs are ignored
         # by every other head.
-        input_h = x.shape[1]
+        # start_at > 0: x is the output of row start_at-1 (a fused prologue —
+        # ops/s2d_stem.py — already computed rows [0, start_at)); full_input_h
+        # then carries the true image height for head stride derivation.
+        input_h = full_input_h if full_input_h is not None else x.shape[1]
         # full per-layer output list: 'from' may be absolute (savelist) or
         # negative-relative (e.g. [-1, -2] in z-yaml ablations) — exactly the
         # reference's y-list routing (tasks.py:141-168). Entries not in the
         # savelist are dropped to None so XLA frees them.
-        ys: list[Any] = []
+        ys: list[Any] = [None] * start_at
+        if start_at > 0 and (start_at - 1) in self.save:
+            ys[start_at - 1] = x
         out = x
         # running text stream for YOLO-World graphs: C2fAttn consumes it as
         # guide, ImagePoolingAttn refines it, WorldDetect scores against the
@@ -74,6 +79,9 @@ class DetectionGraph(nn.Module):
         if txt is not None and txt.ndim == 2:
             txt = jnp.broadcast_to(txt[None], (x.shape[0],) + txt.shape)
         for i, (m, f) in enumerate(zip(self.modules, self.froms)):
+            if i < start_at:
+                continue
+
             def fetch(j, i=i):
                 return out if j == -1 else ys[j % i]  # j % i absolutizes negatives
 
@@ -131,6 +139,11 @@ class DetectionModel:
             nc=self.nc,
             reg_max=self.reg_max,
         )
+        from yolo_ad_refine_tpu.ops.s2d_stem import stem_pair_eligible
+
+        # channel triple when yaml rows 0-1 admit the exact s2d inference
+        # rewrite (ops/s2d_stem.py), else None
+        self.stem_s2d_chans = stem_pair_eligible(self.specs, self.meta["save"])
         self.head_spec: LayerSpec = self.specs[head_idx] if head_idx >= 0 else None
         self.nl = (
             len(self.head_spec.f)
@@ -216,6 +229,14 @@ class DetectionModel:
         kw = {}
         if text_feats is not None:
             kw["text_feats"] = jnp.asarray(text_feats, jnp.float32)
+        from yolo_ad_refine_tpu.ops.s2d_stem import stem_pair_infer, stem_s2d_enabled
+
+        if (not train and self.stem_s2d_chans is not None and stem_s2d_enabled()
+                and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+                and "batch_stats" in variables):
+            y = stem_pair_infer(variables, x, self.dtype, self.stem_s2d_chans)
+            return self.graph.apply(variables, y, train=False, rngs=rngs,
+                                    start_at=2, full_input_h=x.shape[1], **kw)
         return self.graph.apply(
             variables, x, train=train, rngs=rngs,
             mutable=["batch_stats"] if (train and mutable) else False, **kw,
