@@ -163,6 +163,7 @@ class TestDetectionLoss:
         # suppressing background logits reduces cls loss
         assert float(out_conf.components[1]) < float(out_rand.components[1])
 
+    @pytest.mark.slow
     def test_jit_compiles(self):
         labels, boxes, mask = make_targets()
         feats = make_feats()

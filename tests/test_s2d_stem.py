@@ -25,6 +25,7 @@ def _both_paths(model, x):
     return slow, fast
 
 
+@pytest.mark.slow
 def test_stem_s2d_matches_module_path_yolo11n():
     model = build_detection_model(
         str(ROOT / "cfg" / "models" / "yolo11n.yaml"), dtype=jnp.float32, imgsz=64)
@@ -93,9 +94,8 @@ def test_stem_pair_maps_cover_every_tap_once():
     assert used1.size == n1 and np.all(counts1 == 1)
 
 
-@pytest.mark.parametrize(
-    "imgsz",
-    [128, pytest.param(160, marks=pytest.mark.slow)])
+@pytest.mark.slow
+@pytest.mark.parametrize("imgsz", [128, 160])
 def test_stem_s2d_flagship(imgsz):
     model = build_detection_model(
         str(ROOT / "cfg" / "models" / "yolo11-701-YOLO-AD-Refine.yaml"),

@@ -26,6 +26,7 @@ def _count(variables):
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables["params"]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,cls", C2_CLASSES)
 def test_forward_shape_and_finite(name, cls):
     c = 64

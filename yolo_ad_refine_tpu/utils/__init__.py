@@ -37,12 +37,21 @@ def _enable_jax_compilation_cache() -> None:
             # escape hatch for CPU-only work (tests, debugging).
             jax.config.update("jax_platforms", "cpu")
 
+        # Key the cache dir on XLA_FLAGS: AOT entries record the compile
+        # host's machine features, and the virtual-device test environment
+        # (--xla_force_host_platform_device_count) compiles with different
+        # CPU feature flags than plain runs — sharing one dir makes the
+        # loader warn about SIGILL-risk feature mismatches on every entry.
+        import hashlib
+
+        tag = hashlib.sha1(os.environ.get("XLA_FLAGS", "").encode()).hexdigest()[:8]
         cache_dir = os.environ.get(
-            "YAT_JAX_CACHE", os.path.expanduser("~/.cache/yolo_ad_refine_tpu/jax")
+            "YAT_JAX_CACHE",
+            os.path.expanduser(f"~/.cache/yolo_ad_refine_tpu/jax-{tag}"),
         )
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
