@@ -100,6 +100,32 @@ class TestAssigner:
         tb = np.asarray(res.target_bboxes[0])[fg]
         np.testing.assert_allclose(tb, np.tile(gt_box[0, 0], (tb.shape[0], 1)), atol=1e-4)
 
+    def test_topk_iterated_argmax_equals_sort_formulation(self):
+        """The shipping iterated-argmax topk must select the identical mask
+        as the reference's sort + one-hot duplicate-drop formulation,
+        including masked rows, sub-topk rows, and exact value ties."""
+        from yolo_ad_refine_tpu.train.tal import (
+            _select_topk_candidates, _select_topk_candidates_sort)
+
+        r = np.random.default_rng(7)
+        b, n, a, k = 3, 8, 120, 10
+        m = r.random((b, n, a)).astype(np.float32)
+        m[m < 0.55] = 0.0              # plenty of exact zero-ties
+        m[0, 1] = 0.0                  # a row with no positive metric
+        m[1, 2, :4] = 0.25             # positive ties within a row
+        row_mask = (r.random((b, n)) > 0.3)
+        topk_mask = np.broadcast_to(row_mask[..., None], (b, n, k))
+        got = np.asarray(_select_topk_candidates(jnp.asarray(m), k, jnp.asarray(topk_mask)))
+        want = np.asarray(_select_topk_candidates_sort(jnp.asarray(m), k, jnp.asarray(topk_mask)))
+        # the formulations may differ only on zero-metric picks, which the
+        # caller multiplies away by the inside-GT validity mask (metric>0)
+        valid = m > 0
+        np.testing.assert_array_equal(got * valid, want * valid)
+        # and on strictly-positive rows with >= k candidates they are equal
+        # outright (both orderings are value-desc / index-asc)
+        full_rows = (valid.sum(-1) >= k) & row_mask
+        np.testing.assert_array_equal(got[full_rows], want[full_rows])
+
     @pytest.mark.slow
     def test_empty_gt(self):
         imgsz = 64

@@ -40,14 +40,50 @@ def select_candidates_in_gts(anc_points, gt_bboxes, eps: float = 1e-9):
     return jnp.min(deltas, axis=-1) > eps  # (B,N,A)
 
 
-def _select_topk_candidates(metrics, topk: int, topk_mask):
-    """Per-GT topk anchor mask with duplicate-drop (reference tal.py:127-160)."""
+def _select_topk_candidates_sort(metrics, topk: int, topk_mask):
+    """Per-GT topk anchor mask with duplicate-drop (reference tal.py:127-160).
+
+    Literal translation: lax.top_k (a sort on TPU) + a (B,N,topk,A) one-hot
+    count. Kept as the reference formulation for the equivalence test; the
+    shipping path below selects the same mask without the sort or the
+    rank-4 materialization.
+    """
     a = metrics.shape[-1]
     topk_metrics, topk_idxs = jax.lax.top_k(metrics, topk)  # (B,N,topk)
     topk_idxs = jnp.where(topk_mask, topk_idxs, 0)
     count = jnp.sum(jax.nn.one_hot(topk_idxs, a, dtype=jnp.int32), axis=-2)  # (B,N,A)
     count = jnp.where(count > 1, 0, count)  # drop duplicate-hit anchors
     return count.astype(metrics.dtype)
+
+
+def _select_topk_candidates(metrics, topk: int, topk_mask):
+    """Per-GT topk anchor mask, TPU formulation (parity: reference
+    tal.py:127-160, equivalence proven in tests/test_loss.py).
+
+    lax.top_k lowers to a full per-row sort on TPU (A=8400 here) and the
+    reference's duplicate-drop needs a (B,N,topk,A) one-hot — together they
+    dominate assigner time. topk=10 iterations of argmax+mask select the
+    identical anchor set with O(topk*B*N*A) elementwise work and no rank-4
+    temporary:
+
+    - within a valid row, top_k indices are always distinct, so the
+      duplicate-drop only ever fires on rows zeroed by topk_mask (their
+      indices collapse to 0 with count=topk>1) — equivalent to masking the
+      whole row, which is what the final ``where`` does;
+    - tie order among equal metrics can differ from the sort, but ties only
+      occur at metric 0 (anchors outside the GT), and the caller multiplies
+      by the inside-GT validity mask which zeroes those either way.
+    """
+    sel = jnp.zeros(metrics.shape, bool)
+    m = metrics
+    neg = jnp.asarray(-jnp.inf, metrics.dtype)
+    for _ in range(topk):  # static unroll: lets XLA fuse the masked maxes
+        i = jnp.argmax(m, axis=-1)  # (B,N), lowest index on ties like topk
+        hit = jax.nn.one_hot(i, metrics.shape[-1], dtype=bool)
+        sel = sel | hit
+        m = jnp.where(hit, neg, m)
+    row_valid = topk_mask[..., :1] if topk_mask.ndim == metrics.ndim else topk_mask
+    return jnp.where(row_valid, sel, False).astype(metrics.dtype)
 
 
 class TaskAlignedAssigner:
