@@ -65,6 +65,22 @@ class TestComponents:
         uniform = jnp.zeros((1, 4, reg_max))
         assert float(dfl_loss(peaked, target).squeeze()) < float(dfl_loss(uniform, target).squeeze())
 
+    def test_dfl_hat_equals_gather_formulation(self):
+        """The shipping gather-free hat DFL == the literal two-gather
+        reference formulation, values AND gradients, incl. integer and
+        boundary targets."""
+        from yolo_ad_refine_tpu.train.loss import _dfl_loss_gather
+
+        r = np.random.default_rng(3)
+        pd = jnp.asarray(r.normal(0, 2, (2, 50, 4, 16)).astype(np.float32))
+        t = r.uniform(0, 15, (2, 50, 4)).astype(np.float32)
+        t[0, 0] = [0.0, 3.0, 15.0, 14.999]  # exact-bin + boundary targets
+        t = jnp.asarray(t)
+        a, ga = jax.value_and_grad(lambda p: jnp.sum(dfl_loss(p, t)))(pd)
+        b, gb = jax.value_and_grad(lambda p: jnp.sum(_dfl_loss_gather(p, t)))(pd)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
 
 class TestAssigner:
     def test_obvious_assignment(self):

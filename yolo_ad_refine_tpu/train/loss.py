@@ -57,7 +57,24 @@ def dfl_loss(pred_dist, target, reg_max: int = 16):
 
     pred_dist: (..., 4, reg_max) logits; target: (..., 4) continuous in
     [0, reg_max-1). Returns (...,) mean over the 4 coords.
+
+    The two-bin cross-entropy -(wl*logp[tl] + wr*logp[tl+1]) is computed
+    gather-free as -sum_r logp_r * max(0, 1 - |t - r|): the hat weights are
+    exactly (wl, wr) at (tl, tr) and 0 elsewhere. TPU gathers run at scalar
+    index rate, so the two take_along_axis picks over (B, A, 4) cost more
+    than the whole rest of the loss; the hat sum is dense VPU work
+    (equivalence asserted in tests/test_loss.py, A/B in
+    benchmarks/bench_loss_post.py).
     """
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    bins = jnp.arange(reg_max, dtype=target.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(target[..., None] - bins))
+    return jnp.mean(-jnp.sum(logp * w, axis=-1), axis=-1)
+
+
+def _dfl_loss_gather(pred_dist, target, reg_max: int = 16):
+    """Literal two-gather DFL (the reference's torch formulation); kept for
+    the equivalence test against the shipping hat-weight version."""
     tl = jnp.floor(target).astype(jnp.int32)
     tr = tl + 1
     wl = tr.astype(target.dtype) - target
