@@ -151,6 +151,9 @@ class DetectionValidator:
         confusion = ConfusionMatrix(nc)
         loss_sum = np.zeros(3)
         n_batches = 0
+        # loss_fn is pure jnp — calling it eagerly dispatches hundreds of
+        # tiny ops per batch (ruinous over the axon tunnel); jit it once
+        loss_jit = jax.jit(lambda f, c, b, m: loss_fn(f, c, b, m)) if loss_fn is not None else None
         seen = 0
         profs = {k: Profile() for k in ("preprocess", "inference", "postprocess")}
 
@@ -174,9 +177,9 @@ class DetectionValidator:
                     # the pose head returns (feats, kpt); the box val loss
                     # consumes the per-level feature maps only
                     feats_for_loss = feats[0] if isinstance(feats, tuple) else feats
-                if loss_fn is not None:
-                    out = loss_fn(feats_for_loss, jnp.asarray(batch["cls"]),
-                                  jnp.asarray(batch["bboxes"]), jnp.asarray(batch["mask"]))
+                if loss_jit is not None:
+                    out = loss_jit(feats_for_loss, jnp.asarray(batch["cls"]),
+                                   jnp.asarray(batch["bboxes"]), jnp.asarray(batch["mask"]))
                     loss_sum += np.asarray(out.components)
                     n_batches += 1
                 det = np.asarray(jax.device_get(det))
