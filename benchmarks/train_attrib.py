@@ -115,11 +115,12 @@ def patch_plain_conv():
     import yolo_ad_refine_tpu.ops.deform_mxu2 as m
 
     def plain(x, offset, mask, weight, radius=3):
+        # uniform dtype end to end: a f32 preferred_element_type leaves a f32
+        # cotangent meeting the bf16 x in the conv transpose rule (dtype error)
         return jax.lax.conv_general_dilated(
             x, weight.astype(x.dtype), (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
 
     m.modulated_deform_conv2d_mxu2 = plain
 
