@@ -38,6 +38,12 @@ def pytest_collection_modifyitems(config, items):
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running (model compile) tests")
+    config.addinivalue_line(
+        "markers",
+        "parity: north-star cross-stack parity core (grad/update, full-val "
+        "mAP, e2e logits, DCN kernels) — run on every PR via "
+        "`pytest -m parity --slow` (~10 min), not just nightly",
+    )
     np.random.seed(0)
 
 

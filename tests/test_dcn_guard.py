@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from yolo_ad_refine_tpu.models.model import build_detection_model
 import pytest
 
-pytestmark = pytest.mark.slow  # compile-heavy: run with --slow (quick tier excludes)
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # compile-heavy: --slow or -m parity
 
 TINY_CFG = {
     "nc": 3,

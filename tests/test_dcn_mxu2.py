@@ -9,6 +9,8 @@ Offsets stay inside the radius where the kernel is EXACTLY bilinear
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.parity  # north-star kernel: PR parity tier
+
 import jax
 import jax.numpy as jnp
 

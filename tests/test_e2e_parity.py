@@ -18,7 +18,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # compile-heavy: run with --slow (quick tier excludes)
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # compile-heavy: --slow or -m parity
 
 REF = Path("/root/reference")
 # a real photographic image shipped with the reference training artifacts

@@ -35,6 +35,7 @@ REF = Path("/root/reference")
 
 pytestmark = [
     pytest.mark.slow,
+    pytest.mark.parity,
     pytest.mark.skipif(not REF.exists(), reason="reference not mounted"),
 ]
 

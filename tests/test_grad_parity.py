@@ -31,6 +31,7 @@ B = 2
 
 pytestmark = [
     pytest.mark.slow,
+    pytest.mark.parity,
     pytest.mark.skipif(not REF.exists(), reason="reference not mounted"),
 ]
 
