@@ -226,6 +226,34 @@ def main():
             "yolo11n_t4_tensorrt_ms_per_image": 1.5,
             "source": "docs.ultralytics.com/models/yolo11 (public table)",
         },
+        # The north star (BASELINE.json) is "match A100 img/s on one v5e".
+        # No A100 number exists for the flagship anywhere, so this is a
+        # derived like-for-like ESTIMATE with its arithmetic shown
+        # (full walk-through: docs/performance.md "A100 estimate"):
+        #   1. Public A100 TensorRT bs1 latencies (ultralytics YOLOv8
+        #      README table): v8n 8.7 GFLOPs @ 0.99 ms, v8s 28.6 GFLOPs
+        #      @ 1.20 ms. GFLOPs-interpolating the 12.6-GFLOP flagship:
+        #      0.99 + (12.6-8.7)/(28.6-8.7)*(1.20-0.99) = 1.03 ms
+        #      -> 970 img/s bs1 for a plain-conv model of this size.
+        #   2. Flagship overhead (DCN x3 levels, TSSA attention, ELA):
+        #      the reference's own artifacts put flagship TRAIN time at
+        #      2.58x the stock yolo11 run (BASELINE.md, same GPU/data);
+        #      forward-only overhead is smaller — central 1.5x,
+        #      range [1.2, 2.0].
+        #   3. bs1 -> bs32: the interpolated bs1 point runs at 3.9% MFU
+        #      (12.2 TFLOP/s of 312 peak); batching small models on A100
+        #      typically recovers 2-4x — central 3x.
+        #   => central 970/1.5*3.0 = 1940 img/s, range ~[970, 3200].
+        "a100_estimate": {
+            "flagship_bs32_images_per_sec_central": 1940,
+            "range": [970, 3200],
+            "derivation": "interp(A100 TRT bs1: v8n 8.7GF@0.99ms, v8s "
+                          "28.6GF@1.20ms -> 12.6GF@1.03ms = 970 img/s) "
+                          "/ 1.5 dcn+attn overhead (ref trains 2.58x "
+                          "slower than stock, BASELINE.md) * 3.0 bs32 "
+                          "batching gain (bs1 = 3.9% MFU)",
+            "gap": round(ips / 1940.0, 3),
+        },
     }
     if train_ms is not None:
         extra["train_step_ms_bs16"] = round(train_ms, 1)

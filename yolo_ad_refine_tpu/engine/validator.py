@@ -59,8 +59,17 @@ class DetectionValidator:
         return DataLoader(ds, batch_size=batch, shuffle=False, batch_plan=plan)
 
     # -- main -----------------------------------------------------------------
-    def __call__(self, model=None, variables=None, dataloader=None, loss_fn=None):
-        """model: DetectionModel; variables overrides model.variables (e.g. EMA)."""
+    def __call__(self, model=None, variables=None, dataloader=None, loss_fn=None,
+                 backend=None):
+        """model: DetectionModel; variables overrides model.variables (e.g. EMA).
+
+        backend: an engine.exporter.AutoBackend — the reference's standalone
+        val mode (validator.py:125-131 runs AutoBackend over exported
+        weights). The forward then runs through the exported artifact
+        (checkpoint/StableHLO/SavedModel/TFLite/pb/Triton, raw 0-255 input,
+        decode included); NMS/matching/metrics stay the in-framework jitted
+        path. `model` is still required for nc/head metadata; val loss is
+        skipped (exports emit decoded y, not per-level feats)."""
         args = self.args
         imgsz = int(args.get("imgsz", 640))
         batch_size = int(args.get("batch", 16))
@@ -129,6 +138,19 @@ class DetectionValidator:
                 max_nms=max_nms, multi_label=True, nc=nc, rotated=rotated,
             )
             return det, cnt, _extra, feats
+
+        if backend is not None:
+            assert not (segment or pose or rotated or rtdetr or nms_free), \
+                "AutoBackend standalone val currently supports the detect task"
+            loss_fn = None
+            nms_jit = jax.jit(lambda y: non_max_suppression(
+                y, conf_thres=float(conf), iou_thres=iou, max_det=max_det,
+                max_nms=max_nms, multi_label=True, nc=nc, rotated=rotated))
+
+            def forward_nms(vars_, img):  # noqa: F811 — standalone AutoBackend mode
+                y = jnp.asarray(np.asarray(backend(np.asarray(img, np.float32))))
+                det, cnt, _extra = nms_jit(y)
+                return det, cnt, _extra, None
 
         mask_iou_fn = None
         if segment:
