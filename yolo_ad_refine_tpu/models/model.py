@@ -139,11 +139,14 @@ class DetectionModel:
             nc=self.nc,
             reg_max=self.reg_max,
         )
+        from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_eligible
         from yolo_ad_refine_tpu.ops.s2d_stem import stem_pair_eligible
 
         # channel triple when yaml rows 0-1 admit the exact s2d inference
         # rewrite (ops/s2d_stem.py), else None
         self.stem_s2d_chans = stem_pair_eligible(self.specs, self.meta["save"])
+        # rows 0-4 blocked-layout rewrite (ops/s2d_prologue.py), else None
+        self.prologue_meta = prologue_eligible(self.specs, self.meta["save"])
         self.head_spec: LayerSpec = self.specs[head_idx] if head_idx >= 0 else None
         self.nl = (
             len(self.head_spec.f)
@@ -229,8 +232,15 @@ class DetectionModel:
         kw = {}
         if text_feats is not None:
             kw["text_feats"] = jnp.asarray(text_feats, jnp.float32)
+        from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_enabled, prologue_infer
         from yolo_ad_refine_tpu.ops.s2d_stem import stem_pair_infer, stem_s2d_enabled
 
+        if (not train and self.prologue_meta is not None and prologue_enabled()
+                and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0
+                and "batch_stats" in variables):
+            y = prologue_infer(variables, x, self.dtype, self.prologue_meta)
+            return self.graph.apply(variables, y, train=False, rngs=rngs,
+                                    start_at=5, full_input_h=x.shape[1], **kw)
         if (not train and self.stem_s2d_chans is not None and stem_s2d_enabled()
                 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
                 and "batch_stats" in variables):
