@@ -168,6 +168,12 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
                 precision=prec)
         doff_rows = []
         dmask_cols = []
+        dw_rows = []
+        # accumulate all 9 taps' dX windows in registers and hit the VMEM
+        # ref ONCE per chunk: the taps' windows overlap (bases differ only
+        # by ty in {-1,0,1}), and 9 read-modify-writes per chunk on
+        # overlapping dynamic slices serialize the whole backward
+        dx_acc = jnp.zeros((d_win + 2, wp, c), jnp.float32)
         for t in range(KK):
             ty, tx = t // K - 1, t % K - 1
             offyT = off[2 * t].reshape(1, p)
@@ -201,7 +207,13 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec)            # (L, C)
-            dxs_ref[0, 0, pl.ds(base, d_win), :, :] += dxw.reshape(d_win, wp, c)
+            # ty + 1 is static per unrolled tap: a register-level update
+            dx_acc = jax.lax.dynamic_update_slice(
+                dx_acc,
+                jax.lax.dynamic_slice(
+                    dx_acc, (ty + 1, 0, 0), (d_win, wp, c))
+                + dxw.reshape(d_win, wp, c),
+                (ty + 1, 0, 0))
 
             # dW2T = Xwin @ gsm^T, then band-contract back to wy/wx grads
             dw2T = jax.lax.dot_general(
@@ -220,11 +232,14 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
                 jnp.sum(sampled * gs, axis=-1, keepdims=True))       # (P, 1)
 
             # dW_t = (m * sampled)^T @ g
-            dw_ref[0, 0, t * c : (t + 1) * c, :] += jax.lax.dot_general(
+            dw_rows.append(jax.lax.dot_general(
                 sampled * mP, gflat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=prec)
+                precision=prec))
+        base0 = ci * ch + (s - radius - 2)
+        dxs_ref[0, 0, pl.ds(base0, d_win + 2), :, :] += dx_acc
+        dw_ref[0, 0, :, :] += jnp.concatenate(dw_rows, axis=0)    # (KK*C, Cout)
         doff_ref[0, 0, ci] = jnp.concatenate(doff_rows, axis=0)   # (2KK, P)
         dmask_ref[0, 0, ci] = jnp.concatenate(dmask_cols, axis=-1)  # (P, KK)
         return 0
