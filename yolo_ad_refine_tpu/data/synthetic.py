@@ -52,12 +52,14 @@ def _draw_object(img: np.ndarray, rng: np.random.Generator, cls: int,
 
 def make_shapes_dataset(root: str | Path, n_train: int = 200, n_val: int = 48,
                         imgsz: int = 320, seed: int = 0,
-                        max_objects: int = 5) -> dict:
+                        max_objects: int = 5,
+                        aspect_range: tuple = (1.0, 1.0)) -> dict:
     """Write a YOLO-layout shapes dataset; returns a data dict for train().
 
     Deterministic in (seed, sizes). Backgrounds are low-frequency noise with
     random distractor lines so the detector must learn shapes, not just
-    "non-background pixels".
+    "non-background pixels". ``aspect_range`` (lo, hi): per-image H/W drawn
+    log-uniformly in the range (W = imgsz), for rectangular-val experiments.
     """
     import cv2
 
@@ -67,26 +69,30 @@ def make_shapes_dataset(root: str | Path, n_train: int = 200, n_val: int = 48,
         (root / split / "labels").mkdir(parents=True, exist_ok=True)
         rng = np.random.default_rng(s)
         for i in range(n):
+            ar = float(np.exp(rng.uniform(np.log(aspect_range[0]),
+                                          np.log(aspect_range[1]))))
+            imgh = max(32, int(round(imgsz * ar / 2)) * 2)
             # textured background: blurred noise + gradient
-            img = rng.integers(40, 110, (imgsz, imgsz, 3), dtype=np.uint8)
+            img = rng.integers(40, 110, (imgh, imgsz, 3), dtype=np.uint8)
             img = cv2.GaussianBlur(img, (0, 0), sigmaX=float(rng.uniform(2, 6)))
             for _ in range(int(rng.integers(0, 4))):  # distractor lines
-                p1 = tuple(int(v) for v in rng.integers(0, imgsz, 2))
-                p2 = tuple(int(v) for v in rng.integers(0, imgsz, 2))
+                p1 = (int(rng.integers(0, imgsz)), int(rng.integers(0, imgh)))
+                p2 = (int(rng.integers(0, imgsz)), int(rng.integers(0, imgh)))
                 gray = int(rng.integers(60, 140))
                 cv2.line(img, p1, p2, (gray, gray, gray), int(rng.integers(1, 4)))
             lines = []
+            mind = min(imgsz, imgh)
             for _ in range(int(rng.integers(1, max_objects + 1))):
                 cls = int(rng.integers(0, 3))
-                r = int(rng.integers(imgsz // 16, imgsz // 5))
+                r = int(rng.integers(mind // 16, mind // 5))
                 cx = int(rng.integers(r + 2, imgsz - r - 2))
-                cy = int(rng.integers(r + 2, imgsz - r - 2))
+                cy = int(rng.integers(r + 2, imgh - r - 2))
                 x1, y1, x2, y2 = _draw_object(img, rng, cls, cx, cy, r)
                 x1, y1 = max(0, x1), max(0, y1)
-                x2, y2 = min(imgsz - 1, x2), min(imgsz - 1, y2)
+                x2, y2 = min(imgsz - 1, x2), min(imgh - 1, y2)
                 lines.append(
-                    f"{cls} {(x1 + x2) / 2 / imgsz:.5f} {(y1 + y2) / 2 / imgsz:.5f} "
-                    f"{(x2 - x1) / imgsz:.5f} {(y2 - y1) / imgsz:.5f}")
+                    f"{cls} {(x1 + x2) / 2 / imgsz:.5f} {(y1 + y2) / 2 / imgh:.5f} "
+                    f"{(x2 - x1) / imgsz:.5f} {(y2 - y1) / imgh:.5f}")
             cv2.imwrite(str(root / split / "images" / f"{i:04d}.jpg"), img)
             (root / split / "labels" / f"{i:04d}.txt").write_text(
                 "\n".join(lines) + "\n")

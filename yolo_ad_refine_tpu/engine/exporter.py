@@ -50,13 +50,25 @@ class Exporter:
         self.batch = batch
         self.dtype = jnp.bfloat16 if half else jnp.float32
 
-    def _forward_fn(self):
+    def _forward_fn(self, raw_feats: bool = False):
         variables = self.model.variables
         graph = self.model.graph
         dtype = self.model.dtype
 
         def fn(x):
-            y, _ = self.model.apply(variables, x.astype(dtype) / 255.0, train=False)
+            y, feats = self.model.apply(variables, x.astype(dtype) / 255.0, train=False)
+            if raw_feats:
+                # int8 exports: quantize ONLY the conv body and emit the
+                # per-level raw maps; AutoBackend runs the decode (DFL
+                # softmax, sigmoid, box arithmetic) in float via the
+                # .meta.json sidecar. Two reasons, both measured by the
+                # int8 accuracy gate (tests/test_int8_accuracy.py):
+                # (a) jax2tf decomposes sigmoid/softmax into neg/exp/div
+                #     chains whose exp tensors saturate per-tensor PTQ
+                #     calibration (probs came back exactly 0.0);
+                # (b) pixel boxes (0..imgsz) and probs (0..1) share the
+                #     output tensor, so one scale destroys the probs.
+                return tuple(feats)
             return y
 
         return fn
@@ -95,7 +107,7 @@ class Exporter:
         import tensorflow as tf
         from jax.experimental import jax2tf
 
-        fn = self._forward_fn()
+        fn = self._forward_fn(raw_feats=self._raw_feats)
         tf_fn = jax2tf.convert(fn, with_gradient=False)
         module = tf.Module()
         module.f = tf.function(
@@ -130,6 +142,8 @@ class Exporter:
         tf.io.write_graph(graph_def, str(path.parent), path.name, as_text=False)
         return path
 
+    _raw_feats = False  # set transiently by export_tflite(int8=True)
+
     def export_tflite(self, path: Path, int8: bool = False, data=None,
                       n_calib: int = 32):
         """TFLite flatbuffer; ``int8=True`` adds post-training quantization
@@ -138,7 +152,11 @@ class Exporter:
         batches; random calibration is used (and warned about) without it."""
         import tensorflow as tf
 
-        sm_path = self.export_saved_model(path.with_name(path.name + "_sm"))
+        self._raw_feats = bool(int8)
+        try:
+            sm_path = self.export_saved_model(path.with_name(path.name + "_sm"))
+        finally:
+            self._raw_feats = False
         converter = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
         converter.target_spec.supported_ops = [
             tf.lite.OpsSet.TFLITE_BUILTINS,
@@ -155,6 +173,13 @@ class Exporter:
         blob = converter.convert()
         path = path.with_suffix(".tflite")
         path.write_bytes(blob)
+        if int8:
+            import json
+
+            path.with_suffix(".tflite.meta.json").write_text(json.dumps(
+                {"raw_feats": True, "imgsz": self.imgsz,
+                 "nc": int(self.model.nc),
+                 "reg_max": int(getattr(self.model, "reg_max", 16))}))
         return path
 
     def _calibration_batches(self, data, n_calib: int):
@@ -255,12 +280,37 @@ class AutoBackend:
             self._in = self._interp.get_input_details()[0]
             self._out = self._interp.get_output_details()[0]
 
-            def fn(x):
-                self._interp.set_tensor(self._in["index"], np.asarray(x, np.float32))
-                self._interp.invoke()
-                return self._interp.get_tensor(self._out["index"])
+            meta_p = self.path.with_suffix(".tflite.meta.json")
+            meta = {}
+            if meta_p.exists():
+                import json
 
-            self._fn = fn
+                meta = json.loads(meta_p.read_text())
+            if meta.get("raw_feats"):
+                outs = self._interp.get_output_details()
+                imgsz = int(meta["imgsz"])
+                nc, reg_max = int(meta["nc"]), int(meta["reg_max"])
+
+                def fn(x):
+                    from yolo_ad_refine_tpu.nn.head import decode_detections
+
+                    self._interp.set_tensor(self._in["index"],
+                                            np.asarray(x, np.float32))
+                    self._interp.invoke()
+                    feats = [self._interp.get_tensor(o["index"]) for o in outs]
+                    feats.sort(key=lambda f: -f.shape[1])  # P3, P4, P5
+                    strides = tuple(imgsz // f.shape[1] for f in feats)
+                    return np.asarray(decode_detections(
+                        [jnp.asarray(f) for f in feats], strides, nc, reg_max))
+
+                self._fn = fn
+            else:
+                def fn(x):
+                    self._interp.set_tensor(self._in["index"], np.asarray(x, np.float32))
+                    self._interp.invoke()
+                    return self._interp.get_tensor(self._out["index"])
+
+                self._fn = fn
         else:
             raise FileNotFoundError(f"unrecognized weights: {weights}")
 
