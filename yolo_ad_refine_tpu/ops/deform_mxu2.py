@@ -207,13 +207,11 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec)            # (L, C)
-            # ty + 1 is static per unrolled tap: a register-level update
-            dx_acc = jax.lax.dynamic_update_slice(
-                dx_acc,
-                jax.lax.dynamic_slice(
-                    dx_acc, (ty + 1, 0, 0), (d_win, wp, c))
-                + dxw.reshape(d_win, wp, c),
-                (ty + 1, 0, 0))
+            # ty + 1 is static per unrolled tap; Mosaic has no dynamic_slice
+            # lowering, so place the window with a static zero-pad and add
+            dx_acc = dx_acc + jnp.pad(
+                dxw.reshape(d_win, wp, c),
+                ((ty + 1, 1 - ty), (0, 0), (0, 0)))
 
             # dW2T = Xwin @ gsm^T, then band-contract back to wy/wx grads
             dw2T = jax.lax.dot_general(
