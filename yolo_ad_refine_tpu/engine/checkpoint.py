@@ -78,15 +78,12 @@ def load_checkpoint(path: str | Path, dtype=jnp.float32):
     meta = yaml_load(path / "meta.yaml")
     model = DetectionModel(meta["model_yaml"], nc=meta.get("nc"), dtype=dtype)
     blob = (path / "weights.msgpack").read_bytes()
-    # template init for deserialization structure
-    template = jax.eval_shape(
-        lambda: model.graph.init(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, 64, 64, 3), dtype), train=False)
-    )
-    host_template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
     variables = serialization.msgpack_restore(blob)
-    # msgpack_restore returns plain dicts; adopt directly (structure matches)
-    del host_template
+    # msgpack_restore returns plain dicts; adopt directly (structure matches).
+    # NOTE: no template init here — a dummy trace at a fixed small imgsz
+    # breaks models with minimum-size constraints (the flagship's
+    # CrossScaleAttentionTSSA needs >= 256 px input; a 64-px trace made
+    # load_checkpoint crash on the flagship with a zero-dim resize).
     model.variables = jax.tree.map(jnp.asarray, variables)
     model.probe_strides()
     model.ckpt_meta = meta
