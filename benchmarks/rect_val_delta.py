@@ -47,8 +47,8 @@ def main():
     make_shapes_dataset(root / "data", n_train=2, n_val=args.n,
                         imgsz=args.imgsz, aspect_range=(0.5, 2.0))
     (root / "data.yaml").write_text(
-        f"path: {root / 'data'}\ntrain: train/images\nval: val/images\n"
-        "nc: 3\nnames:\n  0: disc\n  1: box\n  2: tri\n")
+        f"path: {(root / 'data').resolve()}\ntrain: train/images\n"
+        "val: val/images\nnc: 3\nnames:\n  0: disc\n  1: box\n  2: tri\n")
 
     model = load_checkpoint(args.weights)
     out = {"device": str(jax.devices()[0]), "weights": str(args.weights),
