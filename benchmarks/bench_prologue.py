@@ -65,21 +65,26 @@ def main():
     x0 = jnp.asarray(np.random.default_rng(0).random(
         (args.batch, args.imgsz, args.imgsz, 3), np.float32), jnp.bfloat16)
 
-    env = {"off": ("0", "0"), "stem": ("0", "1"), "full": ("1", "0")}
+    # mode -> (YAT_PROLOGUE, YAT_STEM_S2D, YAT_HEAD_FUSED)
+    env = {"off": ("0", "0", "0"), "stem": ("0", "1", "0"),
+           "full": ("1", "0", "0"), "head": ("0", "0", "1"),
+           "fullhead": ("1", "0", "1")}
     outs = {}
     for mode in args.modes.split(","):
-        pro, stem = env[mode]
+        pro, stem, fused = env[mode]
         os.environ["YAT_PROLOGUE"] = pro
         os.environ["YAT_STEM_S2D"] = stem
+        os.environ["YAT_HEAD_FUSED"] = fused
         outs[mode] = chained(
             lambda x: model.apply(model.variables, x, train=False), x0,
             label=mode)
-    # numeric cross-check of the three paths on one batch
+    # numeric cross-check of the paths on one batch
     ys = {}
     for mode in env:
         if mode not in outs:
             continue
-        os.environ["YAT_PROLOGUE"], os.environ["YAT_STEM_S2D"] = env[mode]
+        (os.environ["YAT_PROLOGUE"], os.environ["YAT_STEM_S2D"],
+         os.environ["YAT_HEAD_FUSED"]) = env[mode]
         y, _ = jax.jit(lambda x: model.apply(model.variables, x, train=False))(x0)
         ys[mode] = np.asarray(y, np.float32)
     ref = ys.get("off")
