@@ -105,7 +105,11 @@ def bench_train_step(model):
     tx, _, _ = build_optimizer(model.variables["params"], lr0=0.01, epochs=100,
                                nb=100, batch=TRAIN_BATCH, nbs=TRAIN_BATCH)
     state = TrainState.create(model.variables, tx)
-    tstep = make_train_step(model.graph, loss_fn, tx)
+    from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_train_enabled
+
+    pro_meta = model.prologue_meta if prologue_train_enabled() else None
+    tstep = make_train_step(model.graph, loss_fn, tx, prologue_meta=pro_meta,
+                            prologue_dtype=jnp.bfloat16)
 
     r = np.random.default_rng(0)
     batch = {

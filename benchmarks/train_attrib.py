@@ -81,7 +81,12 @@ def measure_step(label, model, fwd_only=False, iters=5):
         tx, _, _ = build_optimizer(model.variables["params"], lr0=0.01, epochs=100,
                                    nb=100, batch=B, nbs=B)
         state = TrainState.create(model.variables, tx)
-        tstep = make_train_step(model.graph, loss_fn, tx)
+        from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_train_enabled
+
+        pro_meta = model.prologue_meta if prologue_train_enabled() else None
+        tstep = make_train_step(model.graph, loss_fn, tx,
+                                prologue_meta=pro_meta,
+                                prologue_dtype=jnp.bfloat16)
 
         @partial(jax.jit, static_argnums=1)
         def run_k(s, k):

@@ -235,41 +235,23 @@ class DetectionModel:
         kw = {}
         if text_feats is not None:
             kw["text_feats"] = jnp.asarray(text_feats, jnp.float32)
-        from yolo_ad_refine_tpu.ops.ayhead_fused import (
-            ayhead_fused_enabled,
-            ayhead_fused_eval,
-        )
         from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_enabled, prologue_infer
         from yolo_ad_refine_tpu.ops.s2d_stem import stem_pair_infer, stem_s2d_enabled
 
-        def eval_graph(y, start_at, full_h):
-            """Eval-mode tail from row ``start_at``; routes an AYHead through
-            the lane-filling fused rewrite (ops/ayhead_fused.py) on TPU."""
-            if (self.head_spec is not None and self.head_spec.name == "AYHead"
-                    and ayhead_fused_enabled()):
-                feats = self.graph.apply(
-                    variables, y, train=False, rngs=rngs, start_at=start_at,
-                    full_input_h=full_h, stop_at_head=True, **kw)
-                hkey = f"modules_{self.head_spec.i}"
-                hv = {"params": variables["params"][hkey],
-                      "batch_stats": variables.get("batch_stats", {}).get(hkey, {})}
-                return ayhead_fused_eval(hv, feats, self.nc, self.reg_max,
-                                         full_h, self.dtype)
-            return self.graph.apply(variables, y, train=False, rngs=rngs,
-                                    start_at=start_at, full_input_h=full_h, **kw)
-
+        # An AYHead routes itself through the lane-filling fused rewrite
+        # (ops/ayhead_fused.py) on TPU — both train and eval paths.
         if (not train and self.prologue_meta is not None and prologue_enabled()
                 and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0
                 and "batch_stats" in variables):
             y = prologue_infer(variables, x, self.dtype, self.prologue_meta)
-            return eval_graph(y, 5, x.shape[1])
+            return self.graph.apply(variables, y, train=False, rngs=rngs,
+                                    start_at=5, full_input_h=x.shape[1], **kw)
         if (not train and self.stem_s2d_chans is not None and stem_s2d_enabled()
                 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
                 and "batch_stats" in variables):
             y = stem_pair_infer(variables, x, self.dtype, self.stem_s2d_chans)
-            return eval_graph(y, 2, x.shape[1])
-        if not train and not mutable:
-            return eval_graph(x, 0, x.shape[1])
+            return self.graph.apply(variables, y, train=False, rngs=rngs,
+                                    start_at=2, full_input_h=x.shape[1], **kw)
         return self.graph.apply(
             variables, x, train=train, rngs=rngs,
             mutable=["batch_stats"] if (train and mutable) else False, **kw,

@@ -624,6 +624,37 @@ class AYHead(nn.Module):
         def cls_out(f):
             return cv3(f)
 
+        def sow_offset(offset):
+            self.sow("diagnostics", "dcn_offset_max",
+                     jnp.max(jnp.abs(offset)).astype(jnp.float32),
+                     init_fn=lambda: jnp.float32(0.0),
+                     reduce_fn=jnp.maximum)
+
+        from yolo_ad_refine_tpu.ops.ayhead_fused import (
+            ayhead_fused_enabled,
+            ayhead_fused_levels,
+        )
+
+        if not self.is_initializing() and ayhead_fused_enabled():
+            # lane-filling fused rewrite (ops/ayhead_fused.py): exact same
+            # function, cls/reg twin branches packed into 128-wide ops.
+            # Params were created by the module path at init; DCN/CoordAtt
+            # stay module calls (custom VJP, GN, BN state, diagnostics).
+            scales = [self.param(f"scale{i}", nn.initializers.ones, (),
+                                 jnp.float32) for i in range(nl)]
+            outputs = ayhead_fused_levels(
+                self.variables["params"], xs, train, self.dtype,
+                dcn_fn=lambda x, o, m: dcn(x, o, m, train),
+                coord_fn=lambda x: coord_att(x, train),
+                scales=scales, nc=self.nc, reg_max=self.reg_max,
+                diag_fn=sow_offset)
+            if train:
+                return outputs
+            strides = (tuple(input_h // f.shape[1] for f in outputs)
+                       if input_h is not None else self.strides)
+            return decode_detections(outputs, strides, self.nc,
+                                     self.reg_max), outputs
+
         outputs = []
         for i in range(nl):
             adapted = ConvGN(hidc, 1, dtype=self.dtype, name=f"stems_{i}")(xs[i], train)
@@ -645,10 +676,7 @@ class AYHead(nn.Module):
             # "diagnostics" collection (no-op unless the caller passes
             # mutable=["diagnostics"]); the train step surfaces it as the
             # dcn_offset_max metric and the trainer warns near the bound.
-            self.sow("diagnostics", "dcn_offset_max",
-                     jnp.max(jnp.abs(offset)).astype(jnp.float32),
-                     init_fn=lambda: jnp.float32(0.0),
-                     reduce_fn=jnp.maximum)
+            sow_offset(offset)
             reg_aligned = dcn(reg_feat, offset, mask, train)
             reg_enh = coord_att(reg_aligned, train)
 

@@ -1,13 +1,14 @@
-"""Lane-filling fused rewrite of the AYHead eval forward (inference only).
+"""Lane-filling fused rewrite of the AYHead forward (train AND eval).
 
 Motivation (round-4 attribution, benchmarks/bench_head.py): the AYHead is
-~11.4 of the 26 ms bs32/640 flagship forward, of which only ~6 ms is the
-DCN. The rest is ~14 small convs per level at C=64 — half the TPU's
+~11.4 of the 26 ms bs32/640 flagship eval forward, of which only ~7.2 ms
+is the DCN. The rest is ~14 small convs per level at C=64 — half the TPU's
 128-lane boundary — plus the TaskDecomposition/CrossTaskInteraction
 plumbing, so the MXU tiles run half-empty and every op pays full HBM
-latency on an under-filled layout.
+latency on an under-filled layout. In-session TPU A/B (bench_prologue
+modes full vs fullhead): 26.2 -> 22.7 ms/batch.
 
-This module recomputes the EXACT same function (reference head.py:1049-1252
+This module computes the EXACT same function (reference head.py:1049-1252
 forward semantics, same params, same float order up to zero-block matmul
 terms) with the cls/reg twin branches packed into single 128-wide ops:
 
@@ -23,10 +24,14 @@ terms) with the cls/reg twin branches packed into single 128-wide ops:
   3x3 128->123 conv; rep conv2 + cls_prob 3x3 fuse into one 96->65.
 - cv2 (reg) + cv3 (cls) become one block-diagonal 1x1 128->(64+nc).
 
-GroupNorm/BatchNorm run through the same flax layers as the module path,
-so normalization numerics are identical. The DCN dispatch matches
-DyDCNv2 (YAT_DCN_IMPL, mxu2 on TPU). Enabled via YAT_HEAD_FUSED=auto
-(default: on for TPU eval) | 1 | 0; parity: tests/test_head_fused.py.
+Every op here is differentiable jnp (the VJPs are the same fused matmuls
+run in reverse), so AYHead uses this path for training too; the
+DCN (own custom-VJP kernel + GN) and CoordAtt (BatchNorm running stats)
+stay as module calls so flax state collections keep working. GroupNorm
+runs through the same flax layer as the module path, so normalization
+numerics are identical. Enabled via YAT_HEAD_FUSED=auto (default: on for
+TPU) | 1 | 0; parity: tests/test_head_fused.py (fwd fp32/bf16 + facade +
+gradients).
 """
 
 from __future__ import annotations
@@ -37,9 +42,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolo_ad_refine_tpu.nn.common import BatchNorm, hardswish, silu
+from yolo_ad_refine_tpu.nn.common import silu
 
-__all__ = ["ayhead_fused_enabled", "ayhead_fused_eval"]
+__all__ = ["ayhead_fused_enabled", "ayhead_fused_levels"]
 
 
 def ayhead_fused_enabled() -> bool:
@@ -83,35 +88,16 @@ def _pad_out(w, before, after):
     return jnp.pad(w, ((0, 0), (0, 0), (0, 0), (before, after)))
 
 
-def _dcn(x, offset, mask, weight, radius=3):
-    impl = os.environ.get("YAT_DCN_IMPL", "auto")
-    if impl == "auto":
-        impl = "mxu2" if jax.default_backend() == "tpu" else "exact"
-    if impl == "mxu2":
-        from yolo_ad_refine_tpu.ops.deform_mxu2 import modulated_deform_conv2d_mxu2
-        return modulated_deform_conv2d_mxu2(x, offset, mask, weight.astype(x.dtype), radius)
-    if impl == "mxu":
-        from yolo_ad_refine_tpu.ops.deform_mxu import modulated_deform_conv2d_mxu
-        return modulated_deform_conv2d_mxu(x, offset, mask, weight.astype(x.dtype), radius)
-    if impl == "pallas":
-        from yolo_ad_refine_tpu.ops.deform_pallas import modulated_deform_conv2d_pallas
-        return modulated_deform_conv2d_pallas(x, offset, mask, weight.astype(x.dtype), radius)
-    from yolo_ad_refine_tpu.ops.deform import modulated_deform_conv2d
-    return modulated_deform_conv2d(x, offset, mask, weight.astype(x.dtype))
-
-
-def ayhead_fused_eval(head_vars: dict, xs, nc: int, reg_max: int,
-                      input_h: int, dtype):
-    """Exact fused AYHead eval forward. Returns (decoded, per-level feats)
-    matching AYHead.__call__(train=False)."""
-    from yolo_ad_refine_tpu.nn.head import decode_detections
-
-    p = head_vars["params"]
-    bs = head_vars.get("batch_stats", {})
-    nl = len(xs)
+def ayhead_fused_levels(p, xs, train, dtype, dcn_fn, coord_fn, scales,
+                        nc: int, reg_max: int, diag_fn=None):
+    """Fused AYHead per-level forward. ``p`` is AYHead's param subtree;
+    ``dcn_fn(x, offset, mask)`` and ``coord_fn(x)`` are the bound DyDCNv2 /
+    CoordAtt module closures (train mode already folded in); ``scales`` are
+    the per-level Scale params. Returns the per-level (B,H,W,4*reg_max+nc)
+    output list (pre-decode)."""
     tc = p["share_conv_0"]["conv"]["kernel"].shape[-1]  # task_ch (64)
 
-    # ---- precompute fused weights (trace-time concats of small tensors) ----
+    # ---- fused weights (trace-time concats of small tensors) ----
     cp, rp = p["cls_decomp"], p["reg_decomp"]
     W_red = jnp.concatenate([cp["reduction_conv"]["kernel"],
                              rp["reduction_conv"]["kernel"]], axis=-1)
@@ -159,13 +145,10 @@ def ayhead_fused_eval(head_vars: dict, xs, nc: int, reg_max: int,
                            _pad_out(p["cv3"]["kernel"], 4 * reg_max, 0)], axis=2)
     b_o = jnp.concatenate([p["cv2"]["bias"], p["cv3"]["bias"]])
 
-    ca = p["coord_attention_reg"]
-    dcn_w = p["DyDCNV2"]["weight"]
-
     outputs = []
-    for i in range(nl):
+    for i, x in enumerate(xs):
         st = p[f"stems_{i}"]
-        adapted = silu(_gn(_conv(xs[i], st["conv"]["kernel"]), st["gn"], 16, dtype))
+        adapted = silu(_gn(_conv(x, st["conv"]["kernel"]), st["gn"], 16, dtype))
         s1 = p["share_conv_0"]
         feat = silu(_gn(_conv(adapted, s1["conv"]["kernel"], pad=1), s1["gn"], 16, dtype))
         s2 = p["share_conv_1"]
@@ -178,8 +161,7 @@ def ayhead_fused_eval(head_vars: dict, xs, nc: int, reg_max: int,
             [jnp.broadcast_to(_la_gate(avg, cp, dtype), avg.shape[:3] + (tc,)),
              jnp.broadcast_to(_la_gate(avg, rp, dtype), avg.shape[:3] + (tc,))],
             axis=-1)  # (B,1,1,2tc)
-        z = z * gate
-        cr = silu(_gn_cat(z, cp["gn"], rp["gn"], dtype))
+        cr = silu(_gn_cat(z * gate, cp["gn"], rp["gn"], dtype))
 
         # fused CrossTaskInteraction
         t = _conv(cr, W_t, b_t)
@@ -200,30 +182,16 @@ def ayhead_fused_eval(head_vars: dict, xs, nc: int, reg_max: int,
         cls_enh = silu(_gn(y2[..., :tc], rb["conv2"]["gn"], 16, dtype)) + cls_f
         prob = nn.sigmoid(y2[..., tc:])
 
-        # DCN branch
+        # DCN + CoordAtt branch (module closures: custom-VJP kernel, GN,
+        # BatchNorm state, offset diagnostic all live in the modules)
         offset, mask = om[..., :18], nn.sigmoid(om[..., 18:])
-        reg_al = _dcn(cr[..., tc:], offset, mask, dcn_w)
-        reg_al = _gn(reg_al, p["DyDCNV2"]["gn"], 16, dtype)
-
-        # CoordAtt (module math, module BN stats)
-        b_, h_, w_, c_ = reg_al.shape
-        x_h = jnp.mean(reg_al, axis=2, keepdims=True)
-        x_w = jnp.mean(reg_al, axis=1, keepdims=True).transpose(0, 2, 1, 3)
-        yca = _conv(jnp.concatenate([x_h, x_w], axis=1), ca["conv1"]["kernel"],
-                    ca["conv1"]["bias"])
-        yca = BatchNorm(use_running_average=True, dtype=dtype).apply(
-            {"params": ca["bn1"], "batch_stats": bs["coord_attention_reg"]["bn1"]}, yca)
-        yca = hardswish(yca)
-        a_h = nn.sigmoid(_conv(yca[:, :h_], ca["conv_h"]["kernel"], ca["conv_h"]["bias"]))
-        a_w = nn.sigmoid(_conv(yca[:, h_:], ca["conv_w"]["kernel"], ca["conv_w"]["bias"]))
-        reg_enh = reg_al * a_w.transpose(0, 2, 1, 3) * a_h
+        if diag_fn is not None:
+            diag_fn(offset)
+        reg_enh = coord_fn(dcn_fn(cr[..., tc:], offset, mask))
 
         # fused outputs
-        scale = p[f"scale{i}"]
         yo = _conv(jnp.concatenate([reg_enh, cls_enh * prob], axis=-1), W_o, b_o)
-        reg_out = yo[..., :4 * reg_max] * scale.astype(yo.dtype)
+        reg_out = yo[..., :4 * reg_max] * scales[i].astype(yo.dtype)
         cls_out = yo[..., 4 * reg_max:]
         outputs.append(jnp.concatenate([reg_out, cls_out], axis=-1))
-
-    strides = tuple(input_h // f.shape[1] for f in outputs)
-    return decode_detections(outputs, strides, nc, reg_max), outputs
+    return outputs

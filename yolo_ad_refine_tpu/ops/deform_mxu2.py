@@ -134,8 +134,11 @@ def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, tw, s,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)                                    # (9P, C)
-        sampled = sampled.reshape(KK, p, c).transpose(1, 0, 2).reshape(
-            p, KK * c)
+        # (9P, C) -> (P, 9C): sublane slices + lane concat (Mosaic has no
+        # lane-merging shape cast, but 128-aligned row slices are free and
+        # lane concat lowered fine in the round-3 kernel)
+        sampled = jnp.concatenate(
+            [sampled[t * p:(t + 1) * p] for t in range(KK)], axis=-1)
         out = jax.lax.dot_general(
             sampled.astype(w_ref.dtype), w_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -154,18 +157,19 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
     off (1, 1, nch, 18, P) f32 (P on lanes); maskp (1, 1, nch, P, 9) f32
     (P on sublanes); g (1, 1, nch, P, Cout) f32. Outputs:
     dxs (1, 1, Hc+2s, Wp, C) f32, doff (1, 1, nch, 18, P) f32,
-    dmask (1, 1, nch, 9, P) f32 (P on LANES — host un-transposes),
-    dw (1, 1, KK*C, Cout) f32.
+    dmask (1, 1, nch, P, 9) f32, dw (1, 1, KK*C, Cout) f32.
 
-    Same stacking trick as the forward: taps share a 2-row-widened window,
-    W2T_all is (L2, 9P), and the four gradient contractions become four
-    LARGE matmuls per chunk (M or K = 9P = 1152) instead of 36 small ones.
-    The dX accumulation falls out for free: W2T_all @ gsm_all contracts
-    the tap axis inside the matmul, so every tap's contribution lands in
-    the shared window in one pass — no per-tap pad+add chain. ``mm_dtype``
-    lets the production bf16 path run single-pass MXU matmuls with f32
-    accumulation (DEFAULT f32xf32 is multi-pass, ~3x slower); the f32
-    parity path keeps f32/HIGHEST."""
+    Round-4 rework: all taps read ONE 2-row-widened shared window (ty
+    folded into the y-hat), so the per-tap dX windows accumulate in
+    registers with no pad+add chain and hit VMEM once per chunk; and
+    ``mm_dtype`` lets the production bf16 path run single-pass MXU
+    matmuls with f32 accumulation (the round-3 kernel ran every gradient
+    matmul with f32 inputs at DEFAULT precision = multi-pass bf16x3,
+    ~3x slower); the f32 parity path keeps f32/HIGHEST. Tap-stacked
+    single-matmul forms were tried and measured flat (the kernel is
+    VPU-bound on the dense W2 construction, not dispatch-bound) and
+    Mosaic cannot sublane-concat lane slices at offset 64 anyway — the
+    per-tap loop stays."""
     c = xs_ref.shape[-1]
     wp = xs_ref.shape[-2]
     d_win2 = ch + 2 * radius + 4
@@ -189,79 +193,75 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)
-        # (P, 9C) -> (9P, C) tap-major stack; mask arranged to match
-        gs_stack = gs_all.reshape(p, KK, c).transpose(1, 0, 2).reshape(
-            KK * p, c)
-        m_stack = mskp.transpose(1, 0).reshape(KK * p, 1)
-        gsm_stack = gs_stack * m_stack
-
         base = ci * ch + (s - radius - 2)
         xwin = xs_ref[0, 0, pl.ds(base, d_win2), :, :].astype(
             mm_dtype).reshape(d_win2 * wp, c)
+        gflat_mm = gflat.astype(mm_dtype)
 
-        cols, wx_list, wy_list, ux_list, ad_list = [], [], [], [], []
+        doff_rows = []
+        dmask_cols = []
+        dw_rows = []
+        # all taps share the widened window, so their dX contributions
+        # accumulate directly in registers — ONE VMEM RMW per chunk
+        dx_acc = jnp.zeros((d_win2, wp, c), jnp.float32)
         for t in range(KK):
             ty, tx = t // K - 1, t % K - 1
             offyT = off[2 * t].reshape(1, p)
             offxT = off[2 * t + 1].reshape(1, p)
+            mP = mskp[:, t].reshape(p, 1)                      # (P, 1)
+
             uxT = offxT + (tx + s) + x_of_pT - j_T             # (Wp, P)
             wxT = _hat(uxT)
             ayT = offyT + y_of_pT + float(radius + 2 + ty)
             adT = ayT - d_T                                    # (d_win2, P)
             wyT = _hat(adT)
-            cols.append((wyT[:, None, :] * wxT[None, :, :]).reshape(
-                d_win2 * wp, p))
-            wx_list.append(wxT); wy_list.append(wyT)
-            ux_list.append(uxT); ad_list.append(adT)
-        w2T_all = jnp.concatenate(cols, axis=-1)               # (L2, 9P)
-        w2T_mm = w2T_all.astype(mm_dtype)
+            w2T = (wyT[:, None, :] * wxT[None, :, :]).reshape(
+                d_win2 * wp, p).astype(mm_dtype)
 
-        # pre-mask sample for dmask/dw: ONE (9P, L2) x (L2, C) matmul
-        sampled = jax.lax.dot_general(
-            w2T_mm, xwin,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec)                                    # (9P, C)
+            # pre-mask sample, needed by dmask and dw
+            sampled = jax.lax.dot_general(
+                w2T, xwin,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)            # (P, C)
+            gs = gs_all[:, t * c : (t + 1) * c]                # (P, C)
+            gsm = (gs * mP).astype(mm_dtype)
 
-        # dX: contract the tap axis INSIDE the matmul (K = 9P) — the full
-        # per-chunk accumulation in one pass
-        dxw = jax.lax.dot_general(
-            w2T_mm, gsm_stack.astype(mm_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec)                                    # (L2, C)
-        dxs_ref[0, 0, pl.ds(base, d_win2), :, :] += dxw.reshape(d_win2, wp, c)
+            # dX window: W2T @ (m * gs) — masked wx NOT folded into w2T here,
+            # so fold the mask into gsm (identical algebra)
+            dxw = jax.lax.dot_general(
+                w2T, gsm,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)            # (L2, C)
+            dx_acc = dx_acc + dxw.reshape(d_win2, wp, c)
 
-        # dW2T = Xwin @ gsm^T for all taps: (L2, 9P)
-        dw2T_all = jax.lax.dot_general(
-            xwin, gsm_stack.astype(mm_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec).reshape(d_win2, wp, KK, p)
-        doff_rows = []
-        for t in range(KK):
-            dw2T = dw2T_all[:, :, t, :]                        # (d_win2, Wp, P)
-            dwyT = jnp.sum(dw2T * wx_list[t][None, :, :], axis=1)
-            dwxT = jnp.sum(dw2T * wy_list[t][:, None, :], axis=0)
+            # dW2T = Xwin @ gsm^T, then band-contract back to wy/wx grads
+            dw2T = jax.lax.dot_general(
+                xwin, gsm,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)            # (L2, P)
+            dw2T = dw2T.reshape(d_win2, wp, p)
+            dwyT = jnp.sum(dw2T * wxT[None, :, :], axis=1)     # (d_win2, P)
+            dwxT = jnp.sum(dw2T * wyT[:, None, :], axis=0)     # (Wp, P)
             doff_rows.append(
-                jnp.sum(dwyT * _dhat(ad_list[t]), axis=0, keepdims=True))
+                jnp.sum(dwyT * _dhat(adT), axis=0, keepdims=True))   # (1, P)
             doff_rows.append(
-                jnp.sum(dwxT * _dhat(ux_list[t]), axis=0, keepdims=True))
+                jnp.sum(dwxT * _dhat(uxT), axis=0, keepdims=True))   # (1, P)
+            dmask_cols.append(
+                jnp.sum(sampled * gs, axis=-1, keepdims=True))       # (P, 1)
 
-        # dmask(t, p) = sum_c sampled_t * gs_t — tap-major, host un-transposes
-        dmask_ref[0, 0, ci] = jnp.sum(
-            sampled * gs_stack, axis=-1).reshape(KK, p)
-
-        # dW: batched over taps, (9, C, P) x (9, P, Cout) -> (9, C, Cout)
-        msampled = (sampled * m_stack).reshape(KK, p, c)
-        dw_b = jax.lax.dot_general(
-            msampled.astype(mm_dtype),
-            jnp.broadcast_to(gflat.astype(mm_dtype), (KK, p, cout)),
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=prec)                                    # (9, C, Cout)
-        dw_ref[0, 0, :, :] += dw_b.reshape(KK * c, cout)
+            # dW_t = (m * sampled)^T @ g
+            dw_rows.append(jax.lax.dot_general(
+                (sampled * mP).astype(mm_dtype), gflat_mm,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec))
+        dxs_ref[0, 0, pl.ds(base, d_win2), :, :] += dx_acc
+        dw_ref[0, 0, :, :] += jnp.concatenate(dw_rows, axis=0)    # (KK*C, Cout)
         doff_ref[0, 0, ci] = jnp.concatenate(doff_rows, axis=0)   # (2KK, P)
+        dmask_ref[0, 0, ci] = jnp.concatenate(dmask_cols, axis=-1)  # (P, KK)
         return 0
 
     jax.lax.fori_loop(0, hc // ch, chunk_body, 0, unroll=False)
@@ -408,13 +408,13 @@ def _bwd_rule(radius, res, gout):
         out_specs=[
             spec(hc + 2 * s, wp, c),
             spec(nch, 2 * KK, p),
-            spec(nch, KK, p),
+            spec(nch, p, KK),
             spec(KK * c, cout),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, ntx, hc + 2 * s, wp, c), jnp.float32),
             jax.ShapeDtypeStruct((b, ntx, nch, 2 * KK, p), jnp.float32),
-            jax.ShapeDtypeStruct((b, ntx, nch, KK, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, ntx, nch, p, KK), jnp.float32),
             jax.ShapeDtypeStruct((b, ntx, KK * c, cout), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -435,8 +435,8 @@ def _bwd_rule(radius, res, gout):
         0, 2, 4, 1, 5, 3).reshape(b, hc, wc, 2 * KK)[:, :h, :w]
     inb = (jnp.abs(offset) < float(radius)).astype(doff.dtype)
     doff = (doff * inb).astype(offset.dtype)
-    dmask = dmaskt.reshape(b, ntx, nch, KK, CH, TW).transpose(
-        0, 2, 4, 1, 5, 3).reshape(b, hc, wc, KK)[:, :h, :w]
+    dmask = dmaskt.reshape(b, ntx, nch, CH, TW, KK).transpose(
+        0, 2, 3, 1, 4, 5).reshape(b, hc, wc, KK)[:, :h, :w]
     dmask = dmask.astype(mask.dtype)
     dweight = dw_b.sum((0, 1)).reshape(K, K, c, cout).astype(weight.dtype)
     return dx, doff, dmask, dweight

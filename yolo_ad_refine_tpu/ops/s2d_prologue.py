@@ -54,7 +54,8 @@ from yolo_ad_refine_tpu.ops.s2d_stem import (
     stem_pair_infer,
 )
 
-__all__ = ["prologue_eligible", "prologue_infer", "prologue_enabled"]
+__all__ = ["prologue_eligible", "prologue_infer", "prologue_enabled",
+           "prologue_train", "prologue_train_enabled"]
 
 
 def prologue_enabled() -> bool:
@@ -257,3 +258,129 @@ def prologue_infer(variables, x, dtype, meta):
                               stride=2, pad=1)                # blocked s2
     y = _c3k2_blocked(y, p["modules_4"], s["modules_4"], meta["s4"], dtype)
     return d2b(y, meta["s4"].module.c2)
+
+
+# ---------------------------------------------------------------------------
+# train-mode blocked prologue: live BatchNorm with per-phase stat combination
+# ---------------------------------------------------------------------------
+#
+# The eval prologue folds BN into weights; training needs true batch stats.
+# In the phase-major blocked layout an original channel c occupies the 4
+# phase-channels {p*C + c}, whose positions tile the original (B, H, W)
+# exactly, so reducing over (B, h, w, phase) yields the SAME value set the
+# module path reduces over — batch mean/var (two-pass, matching the
+# repo's BatchNorm subclass) are identical up to fp summation order. The
+# running-stat updates (momentum 0.97) are returned as a subtree for the
+# train step to merge into the mutated batch_stats, and every op is plain
+# jnp, so the VJPs run in the same lane-filled blocked layout — this is
+# what makes the rewrite pay in the BACKWARD pass too (the eval-only
+# prologue cannot help training; docs/performance.md round-4 attribution
+# put the shallow-layout tax at a large share of the 19 ms body backward).
+
+
+def prologue_train_enabled() -> bool:
+    v = os.environ.get("YAT_PROLOGUE_TRAIN", "auto").lower()
+    if v in ("1", "true", "on"):
+        return True
+    if v in ("0", "false", "off"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _bn_silu_blocked_train(y, bn_params, bn_stats, dtype, eps=1e-3,
+                           momentum=0.97):
+    """Blocked train BatchNorm + SiLU; returns (out, new running stats).
+
+    Works for any phase multiple ph = y.shape[-1] // C, including ph=1
+    (plain layout)."""
+    B, h, w, C4 = y.shape
+    C = bn_params["scale"].shape[0]
+    ph = C4 // C
+    yr = y.reshape(B, h, w, ph, C).astype(jnp.float32)
+    mean = jnp.mean(yr, axis=(0, 1, 2, 3))
+    var = jnp.mean(jnp.square(yr - mean), axis=(0, 1, 2, 3))
+    out = (yr - mean) * jax.lax.rsqrt(var + eps)
+    out = out * bn_params["scale"] + bn_params["bias"]
+    out = jax.nn.silu(out.reshape(B, h, w, C4).astype(dtype))
+    new = {"mean": bn_stats["mean"] * momentum + mean * (1.0 - momentum),
+           "var": bn_stats["var"] * momentum + var * (1.0 - momentum)}
+    return out, new
+
+
+def _conv_bn_silu_blocked_train(x4, params, stats, G, dtype, *, stride=1,
+                                pad=1):
+    w4 = _scatter(params["conv"]["kernel"], G, dtype)
+    y = jax.lax.conv_general_dilated(
+        x4, w4, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=_DN)
+    out, new = _bn_silu_blocked_train(y, params["bn"], stats["bn"], dtype)
+    return out, {"bn": new}
+
+
+def _c3k2_blocked_train(x4, params, stats, spec, dtype):
+    m = spec.module
+    c = int(m.c2 * m.e)
+    ci = x4.shape[-1] // 4
+    new = {}
+    y, new["cv1"] = _conv_bn_silu_blocked_train(
+        x4, params["cv1"], stats["cv1"], kron4_map(ci, 2 * c), dtype,
+        stride=1, pad=0)
+    a, b = _phase_split(y, (c, c))
+    ys = [a, b]
+    c_ = int(c * 0.5)
+    for i in range(m.n):
+        bp, bs = params[f"m{i}"], stats[f"m{i}"]
+        h, s1 = _conv_bn_silu_blocked_train(ys[-1], bp["cv1"], bs["cv1"],
+                                            k3s1_block_map(c, c_), dtype)
+        h, s2 = _conv_bn_silu_blocked_train(h, bp["cv2"], bs["cv2"],
+                                            k3s1_block_map(c_, c), dtype)
+        new[f"m{i}"] = {"cv1": s1, "cv2": s2}
+        ys.append(ys[-1] + h if m.shortcut else h)
+    cat = _phase_concat(ys)
+    out, ncv2 = _conv_bn_silu_blocked_train(
+        cat, params["cv2"], stats["cv2"], kron4_map((2 + m.n) * c, m.c2),
+        dtype, stride=1, pad=0)
+    new["cv2"] = ncv2
+    return out, new
+
+
+def prologue_train(variables, x, dtype, meta):
+    """Fused TRAIN forward of yaml rows 0-4. Returns (row-4 output, stats)
+    where stats = {modules_i: batch_stats subtree} carries the updated BN
+    running stats for the train step to merge (train/step.py)."""
+    from yolo_ad_refine_tpu.ops.s2d_stem import stem_pair_maps
+
+    p, s = variables["params"], variables["batch_stats"]
+    c0, c1, c2 = meta["stem"]
+    G0, G1 = stem_pair_maps(c0, c1, c2)
+    new = {}
+
+    # rows 0-1 (s2d(4) stem pair), raw weights + live BN
+    B, H, W, C = x.shape
+    xs = x.astype(dtype).reshape(B, H // 4, 4, W // 4, 4, C)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4, 16 * C)
+    w0p = _scatter(p["modules_0"]["conv"]["kernel"], G0, dtype)
+    w1p = _scatter(p["modules_1"]["conv"]["kernel"], G1, dtype)
+    y = jax.lax.conv_general_dilated(xs, w0p, (1, 1), [(1, 0), (1, 0)],
+                                     dimension_numbers=_DN)
+    y, st0 = _bn_silu_blocked_train(y, p["modules_0"]["bn"],
+                                    s["modules_0"]["bn"], dtype)
+    new["modules_0"] = {"bn": st0}
+    y = jax.lax.conv_general_dilated(y, w1p, (1, 1), [(1, 0), (1, 0)],
+                                     dimension_numbers=_DN)
+    y, st1 = _bn_silu_blocked_train(y, p["modules_1"]["bn"],
+                                    s["modules_1"]["bn"], dtype)
+    new["modules_1"] = {"bn": st1}
+
+    # rows 2-4 blocked
+    y = b2d(y)
+    y, new["modules_2"] = _c3k2_blocked_train(
+        y, p["modules_2"], s["modules_2"], meta["s2"], dtype)
+    m3 = meta["s3"].module
+    ci3 = meta["s2"].module.c2
+    y, new["modules_3"] = _conv_bn_silu_blocked_train(
+        y, p["modules_3"], s["modules_3"], k3s2_block_map(ci3, m3.c2),
+        dtype, stride=2, pad=1)
+    y, new["modules_4"] = _c3k2_blocked_train(
+        y, p["modules_4"], s["modules_4"], meta["s4"], dtype)
+    return d2b(y, meta["s4"].module.c2), new

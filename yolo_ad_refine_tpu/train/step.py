@@ -59,7 +59,8 @@ class TrainState(struct.PyTreeNode):
 
 def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999,
                     ema_tau: float = 2000.0, extra_loss_keys: tuple = (),
-                    accumulate: int = 1, dn_fn=None):
+                    accumulate: int = 1, dn_fn=None, prologue_meta=None,
+                    prologue_start: int = 5, prologue_dtype=jnp.bfloat16):
     """Build the pure train_step(state, batch, rng) -> (state, metrics).
 
     batch = {'img': (B,H,W,3) float in [0,1] or uint8, 'cls': (B,N,1),
@@ -71,6 +72,11 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
     (ModelEMA.update is called inside optimizer_step, trainer.py:580-588).
     dn_fn: optional (batch, rng) -> dn dict hook building the RT-DETR
     contrastive-denoising group inside the jitted step (train/rtdetr.py).
+    prologue_meta: when set (and the batch height/width divide by 8), rows
+    [0, prologue_start) run through the blocked train prologue
+    (ops/s2d_prologue.py prologue_train — lane-filled layout for the
+    shallow stage's forward AND backward, exact live-BN semantics); its
+    running-stat updates are merged over the graph's mutated batch_stats.
     """
 
     def loss_and_updates(params, batch_stats, batch, rng):
@@ -81,6 +87,17 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
         if dn_fn is not None:
             rng, dn_rng = jax.random.split(rng)
             kwargs["dn"] = dn_fn(batch, dn_rng)
+        pre_stats = {}
+        use_prologue = (prologue_meta is not None
+                        and img.shape[1] % 8 == 0 and img.shape[2] % 8 == 0)
+        if use_prologue:
+            from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_train
+
+            img2, pre_stats = prologue_train(
+                {"params": params, "batch_stats": batch_stats},
+                img, prologue_dtype, prologue_meta)
+            kwargs.update(start_at=prologue_start, full_input_h=img.shape[1])
+            img = img2
         feats, mutated = graph.apply(
             {"params": params, "batch_stats": batch_stats},
             img, train=True, rngs={"dropout": rng},
@@ -91,8 +108,9 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
         diag_leaves = jax.tree.leaves(mutated.get("diagnostics", {}))
         off_max = (jnp.max(jnp.stack(diag_leaves)) if diag_leaves
                    else jnp.float32(0.0))
-        return out.total, (out.components,
-                           mutated.get("batch_stats", batch_stats), off_max)
+        new_stats = dict(mutated.get("batch_stats", batch_stats))
+        new_stats.update(pre_stats)
+        return out.total, (out.components, new_stats, off_max)
 
     def train_step(state: TrainState, batch, rng):
         (total, (components, new_stats, off_max)), grads = jax.value_and_grad(

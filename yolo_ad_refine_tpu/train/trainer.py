@@ -263,10 +263,17 @@ class DetectionTrainer:
                         f"(best fitness {self.best_fitness:.4f})")
 
         self.mesh = make_mesh_for_batch(self.batch_size)
+        from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_train_enabled
+
+        pro_meta = (self.model.prologue_meta if prologue_train_enabled()
+                    and getattr(self.model, "prologue_meta", None) is not None
+                    else None)
         step = make_train_step(self.model.graph, self.loss_fn, tx,
                                extra_loss_keys=self.extra_loss_keys,
                                accumulate=self.accumulate,
-                               dn_fn=getattr(self, "dn_fn", None))
+                               dn_fn=getattr(self, "dn_fn", None),
+                               prologue_meta=pro_meta,
+                               prologue_dtype=self.model.dtype)
         self.train_step = make_parallel_train_step(step, self.mesh)
 
         self.validator = DetectionValidator(args={
