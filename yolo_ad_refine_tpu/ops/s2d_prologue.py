@@ -129,6 +129,56 @@ def _scatter(w_flat, G, dtype):
     return jnp.concatenate([w_flat.reshape(-1), pad])[G].astype(dtype)
 
 
+# Differentiable blocked-weight builders. The eval path may use either
+# form, but the TRAIN path must use these: the gather form's VJP is a
+# scatter-add over the (3,3,4ci,4co) cotangent — the TPU scalar-scatter
+# trap (docs/performance.md) a third time, measured +7 ms on the bs16
+# train step. Static .at[].set block writes differentiate to slice reads.
+
+
+def kron4_w(w):
+    """(1,1,ci,co) -> (1,1,4ci,4co) block-diagonal (1x1 conv on 4 phases)."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((1, 1, 4 * ci, 4 * co), w.dtype)
+    for p in range(4):
+        out = out.at[0, 0, p * ci:(p + 1) * ci, p * co:(p + 1) * co].set(w[0, 0])
+    return out
+
+
+def k3s1_w(w):
+    """(3,3,ci,co) -> (3,3,4ci,4co): 3x3 s1 conv in blocked layout."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for u in range(3):
+                for v in range(3):
+                    ry, rx = a + u - 1, b + v - 1
+                    U, du = ry // 2 + 1, ry % 2
+                    V, dv = rx // 2 + 1, rx % 2
+                    out = out.at[
+                        U, V, (2 * du + dv) * ci:(2 * du + dv + 1) * ci,
+                        (2 * a + b) * co:(2 * a + b + 1) * co].set(w[u, v])
+    return out
+
+
+def k3s2_w(w):
+    """(3,3,ci,co) -> (3,3,4ci,4co): 3x3 s2 conv, blocked in AND out."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4 * ci, 4 * co), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for u in range(3):
+                for v in range(3):
+                    ry, rx = 2 * a + u - 1, 2 * b + v - 1
+                    U, du = ry // 2 + 1, ry % 2
+                    V, dv = rx // 2 + 1, rx % 2
+                    out = out.at[
+                        U, V, (2 * du + dv) * ci:(2 * du + dv + 1) * ci,
+                        (2 * a + b) * co:(2 * a + b + 1) * co].set(w[u, v])
+    return out
+
+
 def b2d(x):
     """(B,H,W,C) -> (B,H/2,W/2,4C) phase-major."""
     B, H, W, C = x.shape
@@ -307,9 +357,9 @@ def _bn_silu_blocked_train(y, bn_params, bn_stats, dtype, eps=1e-3,
     return out, new
 
 
-def _conv_bn_silu_blocked_train(x4, params, stats, G, dtype, *, stride=1,
+def _conv_bn_silu_blocked_train(x4, params, stats, build, dtype, *, stride=1,
                                 pad=1):
-    w4 = _scatter(params["conv"]["kernel"], G, dtype)
+    w4 = build(params["conv"]["kernel"]).astype(dtype)
     y = jax.lax.conv_general_dilated(
         x4, w4, (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=_DN)
@@ -323,23 +373,20 @@ def _c3k2_blocked_train(x4, params, stats, spec, dtype):
     ci = x4.shape[-1] // 4
     new = {}
     y, new["cv1"] = _conv_bn_silu_blocked_train(
-        x4, params["cv1"], stats["cv1"], kron4_map(ci, 2 * c), dtype,
-        stride=1, pad=0)
+        x4, params["cv1"], stats["cv1"], kron4_w, dtype, stride=1, pad=0)
     a, b = _phase_split(y, (c, c))
     ys = [a, b]
-    c_ = int(c * 0.5)
     for i in range(m.n):
         bp, bs = params[f"m{i}"], stats[f"m{i}"]
         h, s1 = _conv_bn_silu_blocked_train(ys[-1], bp["cv1"], bs["cv1"],
-                                            k3s1_block_map(c, c_), dtype)
+                                            k3s1_w, dtype)
         h, s2 = _conv_bn_silu_blocked_train(h, bp["cv2"], bs["cv2"],
-                                            k3s1_block_map(c_, c), dtype)
+                                            k3s1_w, dtype)
         new[f"m{i}"] = {"cv1": s1, "cv2": s2}
         ys.append(ys[-1] + h if m.shortcut else h)
     cat = _phase_concat(ys)
     out, ncv2 = _conv_bn_silu_blocked_train(
-        cat, params["cv2"], stats["cv2"], kron4_map((2 + m.n) * c, m.c2),
-        dtype, stride=1, pad=0)
+        cat, params["cv2"], stats["cv2"], kron4_w, dtype, stride=1, pad=0)
     new["cv2"] = ncv2
     return out, new
 
@@ -348,19 +395,17 @@ def prologue_train(variables, x, dtype, meta):
     """Fused TRAIN forward of yaml rows 0-4. Returns (row-4 output, stats)
     where stats = {modules_i: batch_stats subtree} carries the updated BN
     running stats for the train step to merge (train/step.py)."""
-    from yolo_ad_refine_tpu.ops.s2d_stem import stem_pair_maps
+    from yolo_ad_refine_tpu.ops.s2d_stem import stem0_w, stem1_w
 
     p, s = variables["params"], variables["batch_stats"]
-    c0, c1, c2 = meta["stem"]
-    G0, G1 = stem_pair_maps(c0, c1, c2)
     new = {}
 
     # rows 0-1 (s2d(4) stem pair), raw weights + live BN
     B, H, W, C = x.shape
     xs = x.astype(dtype).reshape(B, H // 4, 4, W // 4, 4, C)
     xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4, 16 * C)
-    w0p = _scatter(p["modules_0"]["conv"]["kernel"], G0, dtype)
-    w1p = _scatter(p["modules_1"]["conv"]["kernel"], G1, dtype)
+    w0p = stem0_w(p["modules_0"]["conv"]["kernel"]).astype(dtype)
+    w1p = stem1_w(p["modules_1"]["conv"]["kernel"]).astype(dtype)
     y = jax.lax.conv_general_dilated(xs, w0p, (1, 1), [(1, 0), (1, 0)],
                                      dimension_numbers=_DN)
     y, st0 = _bn_silu_blocked_train(y, p["modules_0"]["bn"],
@@ -376,11 +421,8 @@ def prologue_train(variables, x, dtype, meta):
     y = b2d(y)
     y, new["modules_2"] = _c3k2_blocked_train(
         y, p["modules_2"], s["modules_2"], meta["s2"], dtype)
-    m3 = meta["s3"].module
-    ci3 = meta["s2"].module.c2
     y, new["modules_3"] = _conv_bn_silu_blocked_train(
-        y, p["modules_3"], s["modules_3"], k3s2_block_map(ci3, m3.c2),
-        dtype, stride=2, pad=1)
+        y, p["modules_3"], s["modules_3"], k3s2_w, dtype, stride=2, pad=1)
     y, new["modules_4"] = _c3k2_blocked_train(
         y, p["modules_4"], s["modules_4"], meta["s4"], dtype)
     return d2b(y, meta["s4"].module.c2), new

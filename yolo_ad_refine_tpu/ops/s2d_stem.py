@@ -156,3 +156,41 @@ def stem_pair_infer(variables, x, dtype, chans):
     y = jax.lax.conv_general_dilated(y, w1p, (1, 1), [(1, 0), (1, 0)],
                                      dimension_numbers=dn)
     return jax.nn.silu(y + b1.astype(dtype))
+
+
+def stem0_w(w):
+    """(3,3,c0,c1) -> (2,2,16*c0,4*c1): row-0 k3 s2 conv on the s2d(4)
+    input (differentiable form of stem_pair_maps G0 — static block writes,
+    VJP = slice reads; the gather form's VJP is a TPU scalar scatter)."""
+    c0, c1 = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 2, 16 * c0, 4 * c1), w.dtype)
+    for a in range(2):
+        for u in range(3):
+            U, du = (0, 3) if (a == 0 and u == 0) else (1, 2 * a + u - 1)
+            for b in range(2):
+                for v in range(3):
+                    V, dv = (0, 3) if (b == 0 and v == 0) else (1, 2 * b + v - 1)
+                    ic = (du * 4 + dv) * c0
+                    oc = (a * 2 + b) * c1
+                    out = out.at[U, V, ic:ic + c0, oc:oc + c1].set(w[u, v])
+    return out
+
+
+def stem1_w(w):
+    """(3,3,c1,c2) -> (2,2,4*c1,c2): row-1 k3 s2 conv consuming row-0's
+    s2d(2) phase-major output (differentiable form of G1)."""
+    c1, c2 = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 2, 4 * c1, c2), w.dtype)
+    for U in range(2):
+        for a in range(2):
+            u = 2 * U + a - 1
+            if not 0 <= u <= 2:
+                continue
+            for V in range(2):
+                for b in range(2):
+                    v = 2 * V + b - 1
+                    if not 0 <= v <= 2:
+                        continue
+                    ic = (a * 2 + b) * c1
+                    out = out.at[U, V, ic:ic + c1, :].set(w[u, v])
+    return out
