@@ -176,7 +176,7 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
     p = ch * tw
 
     dxs_ref[0, 0, :, :, :] = jnp.zeros(
-        (xs_ref.shape[2], wp, c), jnp.float32)
+        (xs_ref.shape[2], wp, c), dxs_ref.dtype)
     dw_ref[0, 0, :, :] = jnp.zeros((KK * c, cout), jnp.float32)
 
     x_of_pT, y_of_pT = _lane_iotas(ch, tw)
@@ -258,7 +258,7 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec))
-        dxs_ref[0, 0, pl.ds(base, d_win2), :, :] += dx_acc
+        dxs_ref[0, 0, pl.ds(base, d_win2), :, :] += dx_acc.astype(dxs_ref.dtype)
         dw_ref[0, 0, :, :] += jnp.concatenate(dw_rows, axis=0)    # (KK*C, Cout)
         doff_ref[0, 0, ci] = jnp.concatenate(doff_rows, axis=0)   # (2KK, P)
         dmask_ref[0, 0, ci] = jnp.concatenate(dmask_cols, axis=-1)  # (P, KK)
@@ -381,14 +381,14 @@ def _bwd_rule(radius, res, gout):
     nch = hc // CH
     p = CH * TW
     wflat = weight.reshape(KK * c, cout).astype(jnp.float32)
-    gpad = jnp.pad(gout.astype(jnp.float32),
+    mm_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    gpad = jnp.pad(gout.astype(mm_dtype),
                    ((0, 0), (0, hc - h), (0, ntx * TW - w), (0, 0)))
     gt = gpad.reshape(b, nch, CH, ntx, TW, cout).transpose(
         0, 3, 1, 2, 4, 5).reshape(b, ntx, nch, p, cout)
 
     prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    mm_dtype = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
     kernel = partial(_bwd_kernel, hc=hc, tw=TW, s=s, radius=radius,
                      cout=cout, ch=CH, prec=prec, mm_dtype=mm_dtype)
     spec = lambda *shape: pl.BlockSpec(  # noqa: E731
@@ -412,7 +412,7 @@ def _bwd_rule(radius, res, gout):
             spec(KK * c, cout),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, ntx, hc + 2 * s, wp, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, ntx, hc + 2 * s, wp, c), mm_dtype),
             jax.ShapeDtypeStruct((b, ntx, nch, 2 * KK, p), jnp.float32),
             jax.ShapeDtypeStruct((b, ntx, nch, p, KK), jnp.float32),
             jax.ShapeDtypeStruct((b, ntx, KK * c, cout), jnp.float32),
@@ -423,12 +423,31 @@ def _bwd_rule(radius, res, gout):
         interpret=_INTERPRET,
     )(xt, offt, maskp, wflat, gt)
 
-    # un-tile dx: slabs overlap by 2s(+alignment), so scatter-add each one
+    # un-tile dx: slab i covers padded columns [i*TW, i*TW + wp). With
+    # wp <= 2*TW a slab overlaps only its immediate neighbours, so even
+    # and odd slabs are internally disjoint: concatenate each parity into
+    # one contiguous strip and add the two strips once — 2 fused pads+adds
+    # instead of ntx serialized whole-array RMWs (measured as part of the
+    # ~12 ms bs16 DCN backward share).
     wc = ntx * TW
-    dxs = jnp.zeros((b, hc + 2 * s, wc + 2 * s + (wp - TW - 2 * s), c),
-                    jnp.float32)
-    for i in range(ntx):
-        dxs = dxs.at[:, :, i * TW : i * TW + wp, :].add(dxt[:, i])
+    wfull = wc + 2 * s + (wp - TW - 2 * s)
+    assert wp <= 2 * TW, "slab overlap spans >1 neighbour; fall back needed"
+
+    def strip(par):
+        idx = list(range(par, ntx, 2))
+        cat = jnp.concatenate([dxt[:, i] for i in idx], axis=2)
+        # place at column par*TW; slabs in the strip tile every 2*TW... but
+        # consecutive same-parity slabs start 2*TW apart and are wp wide:
+        # wp < 2*TW leaves a gap — insert per-slab right padding first.
+        if wp < 2 * TW and len(idx) > 1:
+            cat = jnp.concatenate(
+                [jnp.pad(dxt[:, i], ((0, 0), (0, 0), (0, 2 * TW - wp), (0, 0)))
+                 for i in idx[:-1]] + [dxt[:, idx[-1]]], axis=2)
+        start = par * TW
+        return jnp.pad(cat, ((0, 0), (0, 0),
+                             (start, wfull - start - cat.shape[2]), (0, 0)))
+
+    dxs = strip(0) + (strip(1) if ntx > 1 else 0.0)
     dx = dxs[:, s : s + h, s : s + w, :].astype(x.dtype)
 
     doff = dofft.reshape(b, ntx, nch, 2 * KK, CH, TW).transpose(
