@@ -89,3 +89,18 @@ def test_row4_intermediate_exact(model):
     y_ref = m2.graph.apply(vars2, x, train=False)
     np.testing.assert_allclose(np.asarray(y_pro), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_rows4_dispatch_parity(model, monkeypatch):
+    """upto=4 variant (unblock before row 4) through the facade dispatch."""
+    import numpy as _np
+
+    monkeypatch.setenv("YAT_PROLOGUE", "1")
+    monkeypatch.setenv("YAT_PROLOGUE_ROWS", "4")
+    x = jnp.asarray(_np.random.default_rng(7).random((1, 64, 64, 3), _np.float32))
+    y4 = model.apply(model.variables, x, train=False)[0]
+    monkeypatch.setenv("YAT_PROLOGUE", "0")
+    monkeypatch.setenv("YAT_STEM_S2D", "0")
+    y_off = model.apply(model.variables, x, train=False)[0]
+    _np.testing.assert_allclose(_np.asarray(y4), _np.asarray(y_off),
+                                rtol=2e-4, atol=2e-5)

@@ -235,7 +235,11 @@ class DetectionModel:
         kw = {}
         if text_feats is not None:
             kw["text_feats"] = jnp.asarray(text_feats, jnp.float32)
-        from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_enabled, prologue_infer
+        from yolo_ad_refine_tpu.ops.s2d_prologue import (
+            prologue_enabled,
+            prologue_infer,
+            prologue_rows,
+        )
         from yolo_ad_refine_tpu.ops.s2d_stem import stem_pair_infer, stem_s2d_enabled
 
         # An AYHead routes itself through the lane-filling fused rewrite
@@ -243,9 +247,11 @@ class DetectionModel:
         if (not train and self.prologue_meta is not None and prologue_enabled()
                 and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0
                 and "batch_stats" in variables):
-            y = prologue_infer(variables, x, self.dtype, self.prologue_meta)
+            rows = prologue_rows()
+            y = prologue_infer(variables, x, self.dtype, self.prologue_meta,
+                               upto=rows)
             return self.graph.apply(variables, y, train=False, rngs=rngs,
-                                    start_at=5, full_input_h=x.shape[1], **kw)
+                                    start_at=rows, full_input_h=x.shape[1], **kw)
         if (not train and self.stem_s2d_chans is not None and stem_s2d_enabled()
                 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
                 and "batch_stats" in variables):

@@ -294,9 +294,20 @@ def prologue_eligible(specs, save):
     return {"stem": stem, "s2": s2, "s3": s3, "s4": s4}
 
 
-def prologue_infer(variables, x, dtype, meta):
-    """Fused eval forward of yaml rows 0-4; returns row-4's exact output
-    (B, H/8, W/8, c5) for the graph to continue at start_at=5."""
+def prologue_rows() -> int:
+    """How many leading yaml rows the eval prologue covers (4 or 5).
+
+    upto=4 unblocks after row 3 (module row 4 at the P3 grid is already
+    lane-healthy) — measured 23.39 ms vs 22.69 for upto=5 on the flagship
+    bs32/640, so the blocked row 4 stays the default; the knob remains
+    for configs with wider row-4 channels."""
+    v = os.environ.get("YAT_PROLOGUE_ROWS", "5")
+    return 4 if v == "4" else 5
+
+
+def prologue_infer(variables, x, dtype, meta, upto: int = 5):
+    """Fused eval forward of yaml rows [0, upto); returns row upto-1's
+    exact output for the graph to continue at start_at=upto."""
     p, s = variables["params"], variables["batch_stats"]
     y1 = stem_pair_infer(variables, x, dtype, meta["stem"])   # rows 0-1
     y = b2d(y1)                                               # (H/8, 4*c2)
@@ -306,6 +317,8 @@ def prologue_infer(variables, x, dtype, meta):
     y = _conv_bn_silu_blocked(y, p["modules_3"], s["modules_3"],
                               k3s2_block_map(ci3, m3.c2), dtype,
                               stride=2, pad=1)                # blocked s2
+    if upto == 4:
+        return d2b(y, m3.c2)
     y = _c3k2_blocked(y, p["modules_4"], s["modules_4"], meta["s4"], dtype)
     return d2b(y, meta["s4"].module.c2)
 
