@@ -62,6 +62,9 @@ from jax.experimental.pallas import tpu as pltpu
 K = 3
 KK = K * K
 CH = int(os.environ.get("YAT_MXU2_CH", "8"))    # output rows per chunk
+# chunk-loop unroll: >1 lets Mosaic overlap chunk i+1's VPU W2
+# construction with chunk i's MXU matmuls (serial dependency otherwise)
+UNROLL = int(os.environ.get("YAT_MXU2_UNROLL", "1"))
 TW = int(os.environ.get("YAT_MXU2_TW", "16"))   # output cols per x-tile
 
 
@@ -147,7 +150,8 @@ def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, tw, s,
         out_ref[0, 0, ci] = out.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, hc // ch, chunk_body, 0, unroll=False)
+    jax.lax.fori_loop(0, hc // ch, chunk_body, 0,
+                      unroll=UNROLL if UNROLL > 1 else False)
 
 
 def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
@@ -264,7 +268,8 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
         dmask_ref[0, 0, ci] = jnp.concatenate(dmask_cols, axis=-1)  # (P, KK)
         return 0
 
-    jax.lax.fori_loop(0, hc // ch, chunk_body, 0, unroll=False)
+    jax.lax.fori_loop(0, hc // ch, chunk_body, 0,
+                      unroll=UNROLL if UNROLL > 1 else False)
 
 
 # ---------------------------------------------------------------------------
