@@ -150,8 +150,20 @@ def _fwd_kernel(xs_ref, off_ref, mask_ref, w_ref, out_ref, *, hc, tw, s,
         out_ref[0, 0, ci] = out.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, hc // ch, chunk_body, 0,
-                      unroll=UNROLL if UNROLL > 1 else False)
+    nch = hc // ch
+    if UNROLL > 1 and nch % UNROLL == 0:
+        # manual unroll (lax.fori_loop's unroll= does not lower through
+        # this Mosaic path): adjacent chunks are independent, so the
+        # compiler can overlap chunk i+1's VPU W2 construction with chunk
+        # i's MXU matmuls
+        def multi_body(cj, _):
+            for k in range(UNROLL):
+                chunk_body(cj * UNROLL + k, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nch // UNROLL, multi_body, 0, unroll=False)
+    else:
+        jax.lax.fori_loop(0, nch, chunk_body, 0, unroll=False)
 
 
 def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
@@ -268,8 +280,7 @@ def _bwd_kernel(xs_ref, off_ref, maskp_ref, w_ref, g_ref,
         dmask_ref[0, 0, ci] = jnp.concatenate(dmask_cols, axis=-1)  # (P, KK)
         return 0
 
-    jax.lax.fori_loop(0, hc // ch, chunk_body, 0,
-                      unroll=UNROLL if UNROLL > 1 else False)
+    jax.lax.fori_loop(0, hc // ch, chunk_body, 0, unroll=False)
 
 
 # ---------------------------------------------------------------------------
