@@ -19,6 +19,8 @@ import jax.numpy as jnp
 
 from yolo_ad_refine_tpu.nn.head import AYHead
 
+pytestmark = pytest.mark.parity  # production graph semantics: PR parity tier
+
 
 def _mk(dtype, nc=17, tc=64, b=2, s=16):
     mod = AYHead(nc=nc, ch=(2 * tc, 2 * tc, 2 * tc), dtype=dtype)

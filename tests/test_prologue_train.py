@@ -9,12 +9,16 @@ tolerance at f32.
 
 import numpy as np
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
 from yolo_ad_refine_tpu.models.model import build_detection_model
 from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_train
 from yolo_ad_refine_tpu.utils import ROOT
+
+pytestmark = pytest.mark.parity  # production graph semantics: PR parity tier
 
 
 def _model():
