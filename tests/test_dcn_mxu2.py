@@ -83,3 +83,26 @@ def test_clip_semantics_beyond_radius():
     y_clip = dm2.modulated_deform_conv2d_mxu2(
         x, jnp.clip(big, -3.0, 3.0), mask, w, 3)
     np.testing.assert_allclose(np.asarray(y_big), np.asarray(y_clip), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_gradients_multi_tile_strips():
+    """dx un-tiling at ntx in {3, 5} (even/odd strip parities, the P4/P3
+    tile counts) — exercises the parity-strip reconstruction."""
+    for seed, (h, w_) in ((6, (9, 40)), (7, (8, 72))):
+        x, off, mask, w = _inputs(seed=seed, H=h, W=w_)
+
+        def loss_ref(*a):
+            return jnp.sum(modulated_deform_conv2d(*a) ** 2)
+
+        def loss_mx(*a):
+            return jnp.sum(dm2.modulated_deform_conv2d_mxu2(*a, 3) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, off, mask, w)
+        g_mx = jax.grad(loss_mx, argnums=(0, 1, 2, 3))(x, off, mask, w)
+        atol = 5e-2 if ON_TPU else 1e-4
+        for name, a, b in zip(("dx", "doff", "dmask", "dw"), g_ref, g_mx):
+            scale = max(1.0, float(jnp.abs(a).max()))
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=atol,
+                err_msg=f"{name} H={h} W={w_}")
