@@ -106,3 +106,77 @@ def test_gradients_multi_tile_strips():
             np.testing.assert_allclose(
                 np.asarray(b) / scale, np.asarray(a) / scale, atol=atol,
                 err_msg=f"{name} H={h} W={w_}")
+
+
+@pytest.mark.slow
+def test_wide_slab_fallback_tw8():
+    """wp > 2*TW (e.g. TW=8 with radius 3 -> wp=24 > 16) must fall back to
+    the per-slab scatter-add un-tiling, not assert (ADVICE r4)."""
+    old_tw = dm2.TW
+    dm2.TW = 8
+    try:
+        x, off, mask, w = _inputs(seed=8, H=9, W=40)
+
+        def loss_ref(*a):
+            return jnp.sum(modulated_deform_conv2d(*a) ** 2)
+
+        def loss_mx(*a):
+            return jnp.sum(dm2.modulated_deform_conv2d_mxu2(*a, 3) ** 2)
+
+        y_ref = modulated_deform_conv2d(x, off, mask, w)
+        y_mx = dm2.modulated_deform_conv2d_mxu2(x, off, mask, w, 3)
+        np.testing.assert_allclose(np.asarray(y_mx), np.asarray(y_ref),
+                                   atol=2e-3 if ON_TPU else 1e-5)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, off, mask, w)
+        g_mx = jax.grad(loss_mx, argnums=(0, 1, 2, 3))(x, off, mask, w)
+        atol = 5e-2 if ON_TPU else 1e-4
+        for name, a, b in zip(("dx", "doff", "dmask", "dw"), g_ref, g_mx):
+            scale = max(1.0, float(jnp.abs(a).max()))
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=atol,
+                err_msg=name)
+    finally:
+        dm2.TW = old_tw
+
+
+@pytest.mark.slow
+def test_large_offset_radius_parity():
+    """VERDICT r4 #1: checkpoints whose trained offsets reach 5-17 px must
+    sample exactly like the reference's UNBOUNDED mmcv kernel once the clip
+    radius covers them. mxu2(r) == exact gather for |offset| < r."""
+    for seed, (radius, omax) in enumerate(((5, 4.8), (8, 7.5), (17, 16.5))):
+        r = np.random.default_rng(100 + seed)
+        x = jnp.asarray(r.random((1, 10, 12, 8)), jnp.float32)
+        off = jnp.asarray(r.uniform(-omax, omax, (1, 10, 12, 18)), jnp.float32)
+        mask = jnp.asarray(r.random((1, 10, 12, 9)), jnp.float32)
+        w = jnp.asarray(r.normal(0, 0.1, (3, 3, 8, 8)), jnp.float32)
+        y_ref = modulated_deform_conv2d(x, off, mask, w)  # unbounded gather
+        y_mx = dm2.modulated_deform_conv2d_mxu2(x, off, mask, w, radius)
+        atol = 2e-3 if ON_TPU else 1e-5
+        np.testing.assert_allclose(np.asarray(y_mx), np.asarray(y_ref),
+                                   atol=atol, err_msg=f"radius={radius}")
+
+
+@pytest.mark.slow
+def test_large_offset_gradients_radius17():
+    """Gradient parity at the widest observed offset range (17 px)."""
+    r = np.random.default_rng(200)
+    x = jnp.asarray(r.random((1, 9, 14, 8)), jnp.float32)
+    off = jnp.asarray(r.uniform(-15.5, 15.5, (1, 9, 14, 18)), jnp.float32)
+    mask = jnp.asarray(r.random((1, 9, 14, 9)), jnp.float32)
+    w = jnp.asarray(r.normal(0, 0.1, (3, 3, 8, 8)), jnp.float32)
+
+    def loss_ref(*a):
+        return jnp.sum(modulated_deform_conv2d(*a) ** 2)
+
+    def loss_mx(*a):
+        return jnp.sum(dm2.modulated_deform_conv2d_mxu2(*a, 17) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, off, mask, w)
+    g_mx = jax.grad(loss_mx, argnums=(0, 1, 2, 3))(x, off, mask, w)
+    atol = 5e-2 if ON_TPU else 1e-4
+    for name, a, b in zip(("dx", "doff", "dmask", "dw"), g_ref, g_mx):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=atol,
+            err_msg=name)

@@ -104,3 +104,53 @@ def test_rows4_dispatch_parity(model, monkeypatch):
     y_off = model.apply(model.variables, x, train=False)[0]
     _np.testing.assert_allclose(_np.asarray(y4), _np.asarray(y_off),
                                 rtol=2e-4, atol=2e-5)
+
+
+def test_dispatch_falls_back_on_8_not_16_size(model, monkeypatch):
+    """Guard regression (ADVICE r4): the blocked stride-2 row-3 conv needs
+    H, W % 16 == 0 for exactness (at 40px it yields a 6x6 row-4 map vs the
+    module path's 5x5). The facade dispatch must fall back, not silently
+    return different detections."""
+    monkeypatch.setenv("YAT_PROLOGUE", "1")
+    monkeypatch.setenv("YAT_STEM_S2D", "0")
+    x = jnp.asarray(np.random.default_rng(9).random((1, 40, 40, 3), np.float32))
+    y_on = model.apply(model.variables, x, train=False)[0]
+    monkeypatch.setenv("YAT_PROLOGUE", "0")
+    y_off = model.apply(model.variables, x, train=False)[0]
+    assert y_on.shape == y_off.shape
+    np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_train_step_falls_back_on_8_not_16_size(model):
+    """Same guard on the train path (train/step.py use_prologue)."""
+    import optax
+
+    from yolo_ad_refine_tpu.train.loss import DetectionLoss
+    from yolo_ad_refine_tpu.train.step import TrainState, make_train_step
+
+    strides = [8, 16]
+    loss_fn = DetectionLoss(nc=3, strides=strides)
+    tx = optax.sgd(0.0)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "img": jnp.asarray(
+            np.random.default_rng(11).random((2, 40, 40, 3), np.float32)),
+        "cls": jnp.zeros((2, 4, 1), jnp.float32),
+        "bboxes": jnp.asarray(
+            np.random.default_rng(12).random((2, 4, 4), np.float32) * 20 + 5),
+        "mask": jnp.ones((2, 4, 1), jnp.float32),
+    }
+    batch["bboxes"] = batch["bboxes"].at[..., 2:].add(12.0)
+
+    def run(meta):
+        step = make_train_step(model.graph, loss_fn, tx,
+                               prologue_meta=meta, prologue_start=5)
+        st = TrainState.create(model.variables, tx)
+        _, metrics = jax.jit(step)(st, batch, rng)
+        return metrics
+
+    m_on = run(model.prologue_meta)
+    m_off = run(None)
+    np.testing.assert_allclose(float(m_on["loss"]), float(m_off["loss"]),
+                               rtol=1e-5)

@@ -31,7 +31,8 @@ def _to_host(tree):
 
 def save_checkpoint(path: str | Path, *, model, state=None, epoch: int = -1,
                     best_fitness: float = 0.0, train_args: dict | None = None,
-                    include_optimizer: bool = False, names: dict | None = None) -> Path:
+                    include_optimizer: bool = False, names: dict | None = None,
+                    dcn_offset_max: float | None = None) -> Path:
     """Write a checkpoint directory: weights.msgpack (+train.msgpack) + meta.yaml."""
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
@@ -58,6 +59,11 @@ def save_checkpoint(path: str | Path, *, model, state=None, epoch: int = -1,
     yaml_save(path / "meta.yaml", {
         "model_yaml": model.yaml,
         "nc": model.nc,
+        # max |DCN offset| observed in training (train/dcn_offset_max):
+        # load_checkpoint widens the bounded kernels' clip radius to cover
+        # it (the reference's mmcv DCN is unbounded, head.py:751-782)
+        "dcn_offset_max": (float(dcn_offset_max)
+                           if dcn_offset_max is not None else None),
         "names": names or getattr(model, "names", None),
         "epoch": epoch,
         "best_fitness": float(best_fitness),
@@ -76,7 +82,27 @@ def load_checkpoint(path: str | Path, dtype=jnp.float32):
     if path.is_file():  # allow pointing at meta.yaml or weights.msgpack
         path = path.parent
     meta = yaml_load(path / "meta.yaml")
-    model = DetectionModel(meta["model_yaml"], nc=meta.get("nc"), dtype=dtype)
+    model_yaml = meta["model_yaml"]
+    # checkpoint-aware DCN radius: if training logged offsets beyond the
+    # default clip bound, rebuild with a radius that covers them (+1 px
+    # headroom — val images can push offsets slightly past the train max).
+    off_max = meta.get("dcn_offset_max")
+    if off_max:
+        import math as _math
+
+        if not isinstance(model_yaml, dict):  # legacy: a yaml path string
+            from yolo_ad_refine_tpu.models.parser import load_model_cfg
+
+            model_yaml = load_model_cfg(model_yaml)
+
+        need = _math.ceil(float(off_max)) + 1
+        have = float(model_yaml.get("dcn_radius", 3.0))
+        if need > have:
+            model_yaml = dict(model_yaml, dcn_radius=float(need))
+            LOGGER.info(
+                f"DCN radius {have:g} -> {need} (checkpoint dcn_offset_max "
+                f"{float(off_max):.2f}; bounded kernels stay exact)")
+    model = DetectionModel(model_yaml, nc=meta.get("nc"), dtype=dtype)
     blob = (path / "weights.msgpack").read_bytes()
     variables = serialization.msgpack_restore(blob)
     # msgpack_restore returns plain dicts; adopt directly (structure matches).

@@ -103,11 +103,11 @@ class Exporter:
         path.write_bytes(blob)
         return path
 
-    def _tf_module(self):
+    def _tf_module(self, raw_feats: bool = False):
         import tensorflow as tf
         from jax.experimental import jax2tf
 
-        fn = self._forward_fn(raw_feats=self._raw_feats)
+        fn = self._forward_fn(raw_feats=raw_feats)
         tf_fn = jax2tf.convert(fn, with_gradient=False)
         module = tf.Module()
         module.f = tf.function(
@@ -117,10 +117,12 @@ class Exporter:
         )
         return module
 
-    def export_saved_model(self, path: Path):
+    def export_saved_model(self, path: Path, raw_feats: bool = False):
+        """raw_feats: emit per-level raw maps instead of decoded boxes
+        (int8 PTQ body-only quantization — see _forward_fn)."""
         import tensorflow as tf
 
-        module = self._tf_module()
+        module = self._tf_module(raw_feats=raw_feats)
         path = path.with_suffix(".savedmodel")
         tf.saved_model.save(module, str(path))
         return path
@@ -142,8 +144,6 @@ class Exporter:
         tf.io.write_graph(graph_def, str(path.parent), path.name, as_text=False)
         return path
 
-    _raw_feats = False  # set transiently by export_tflite(int8=True)
-
     def export_tflite(self, path: Path, int8: bool = False, data=None,
                       n_calib: int = 32):
         """TFLite flatbuffer; ``int8=True`` adds post-training quantization
@@ -152,11 +152,8 @@ class Exporter:
         batches; random calibration is used (and warned about) without it."""
         import tensorflow as tf
 
-        self._raw_feats = bool(int8)
-        try:
-            sm_path = self.export_saved_model(path.with_name(path.name + "_sm"))
-        finally:
-            self._raw_feats = False
+        sm_path = self.export_saved_model(path.with_name(path.name + "_sm"),
+                                          raw_feats=bool(int8))
         converter = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
         converter.target_spec.supported_ops = [
             tf.lite.OpsSet.TFLITE_BUILTINS,

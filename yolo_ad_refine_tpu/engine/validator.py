@@ -148,9 +148,17 @@ class DetectionValidator:
                 max_nms=max_nms, multi_label=True, nc=nc, rotated=rotated))
 
             def forward_nms(vars_, img):  # noqa: F811 — standalone AutoBackend mode
-                y = jnp.asarray(np.asarray(backend(np.asarray(img, np.float32))))
+                # exported artifacts (TFLite/SavedModel/pb) have a fixed input
+                # batch: pad a final partial batch up to batch_size and slice
+                # the outputs back (keeps NMS shapes static too)
+                n = img.shape[0]
+                x = np.asarray(img, np.float32)
+                if n < batch_size:
+                    x = np.concatenate(
+                        [x, np.zeros((batch_size - n, *x.shape[1:]), np.float32)], 0)
+                y = jnp.asarray(np.asarray(backend(x)))
                 det, cnt, _extra = nms_jit(y)
-                return det, cnt, _extra, None
+                return det[:n], cnt[:n], _extra[:n], None
 
         mask_iou_fn = None
         if segment:

@@ -244,8 +244,12 @@ class DetectionModel:
 
         # An AYHead routes itself through the lane-filling fused rewrite
         # (ops/ayhead_fused.py) on TPU — both train and eval paths.
+        # % 16, not % 8: the blocked stride-2 row-3 conv (k3s2_block_map)
+        # is exact only when the row-2 grid is even, i.e. H, W % 16 == 0.
+        # At e.g. H=40 the blocked path yields a 6x6 row-4 map vs the module
+        # path's 5x5 — fall through to the stem/module path instead.
         if (not train and self.prologue_meta is not None and prologue_enabled()
-                and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0
+                and x.shape[1] % 16 == 0 and x.shape[2] % 16 == 0
                 and "batch_stats" in variables):
             rows = prologue_rows()
             y = prologue_infer(variables, x, self.dtype, self.prologue_meta,

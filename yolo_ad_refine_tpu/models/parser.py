@@ -388,8 +388,14 @@ def parse_model_yaml(d: dict, ch: int = 3, dtype=jnp.float32, verbose: bool = Fa
         elif name in ("Detect", "AYHead", "AYHead1"):
             head_ch = tuple(ch_list[x] for x in f)
             head_nc = args[0] if args else nc
-            cls = H.Detect if name == "Detect" else H.AYHead
-            module = cls(nc=head_nc, ch=head_ch, dtype=dtype)
+            if name == "Detect":
+                module = H.Detect(nc=head_nc, ch=head_ch, dtype=dtype)
+            else:
+                # dcn_radius: top-level model-yaml key (checkpoint-aware —
+                # load_checkpoint raises it to cover the checkpoint's logged
+                # dcn_offset_max; reference mmcv DCN is unbounded)
+                module = H.AYHead(nc=head_nc, ch=head_ch, dtype=dtype,
+                                  dcn_radius=float(d.get("dcn_radius", 3.0)))
             c2 = 0
         elif name == "Classify":
             head_nc = args[0] if args else nc

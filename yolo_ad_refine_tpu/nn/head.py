@@ -517,13 +517,17 @@ class DyDCNv2(nn.Module):
         impl = os.environ.get("YAT_DCN_IMPL", "auto")
         if impl == "auto":
             impl = "mxu2" if jax.default_backend() == "tpu" else "exact"
+        # YAT_DCN_RADIUS overrides the module radius (benching / manual
+        # widening for checkpoints whose offsets outgrew the default)
+        r_env = os.environ.get("YAT_DCN_RADIUS")
+        radius = int(float(r_env)) if r_env else int(self.radius)
         if impl == "mxu":
             from yolo_ad_refine_tpu.ops.deform_mxu import (
                 modulated_deform_conv2d_mxu,
             )
 
             y = modulated_deform_conv2d_mxu(
-                x, offset, mask, weight.astype(x.dtype), int(self.radius)
+                x, offset, mask, weight.astype(x.dtype), radius
             )
         elif impl == "mxu2":
             from yolo_ad_refine_tpu.ops.deform_mxu2 import (
@@ -531,7 +535,7 @@ class DyDCNv2(nn.Module):
             )
 
             y = modulated_deform_conv2d_mxu2(
-                x, offset, mask, weight.astype(x.dtype), int(self.radius)
+                x, offset, mask, weight.astype(x.dtype), radius
             )
         elif impl == "pallas":
             from yolo_ad_refine_tpu.ops.deform_pallas import (
@@ -539,7 +543,7 @@ class DyDCNv2(nn.Module):
             )
 
             y = modulated_deform_conv2d_pallas(
-                x, offset, mask, weight.astype(x.dtype), int(self.radius)
+                x, offset, mask, weight.astype(x.dtype), radius
             )
         else:
             y = modulated_deform_conv2d(x, offset, mask, weight.astype(x.dtype))
@@ -579,6 +583,11 @@ class AYHead(nn.Module):
     strides: tuple = (8, 16, 32)
     reg_max: int = 16
     dtype: Dtype = jnp.float32
+    # bounded-kernel clip radius for the DCN alignment (px at feature
+    # stride). The reference's mmcv kernel is unbounded; checkpoints record
+    # their trained dcn_offset_max and load_checkpoint raises this to cover
+    # it (see engine/checkpoint.py). YAT_DCN_RADIUS env overrides.
+    dcn_radius: float = 3.0
 
     @nn.compact
     def __call__(self, xs, train: bool = False, input_h: int | None = None):
@@ -594,7 +603,8 @@ class AYHead(nn.Module):
         cross_task = CrossTaskInteraction(task_ch, dtype=self.dtype, name="cross_task")
         rep_block_cls = ResidualBlockGN(task_ch, dtype=self.dtype, name="rep_block_cls")
         coord_att = CoordAtt(task_ch, dtype=self.dtype, name="coord_attention_reg")
-        dcn = DyDCNv2(task_ch, dtype=self.dtype, name="DyDCNV2")
+        dcn = DyDCNv2(task_ch, radius=self.dcn_radius, dtype=self.dtype,
+                      name="DyDCNV2")
 
         offset_dim = 2 * 9
         cls_prior = -math.log((1 - 0.01) / 0.01)

@@ -428,7 +428,12 @@ def _bwd_rule(radius, res, gout):
             spec(KK * c, cout),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, ntx, hc + 2 * s, wp, c), mm_dtype),
+            # dx accumulates in f32 even on the bf16 path: the VMEM slab RMW
+            # (overlapping chunk windows) and the strip un-tiling overlap
+            # bands would otherwise compound bf16 rounding exactly where
+            # contributions overlap (ADVICE r4); matmuls stay bf16-in with
+            # f32 accumulation either way.
+            jax.ShapeDtypeStruct((b, ntx, hc + 2 * s, wp, c), jnp.float32),
             jax.ShapeDtypeStruct((b, ntx, nch, 2 * KK, p), jnp.float32),
             jax.ShapeDtypeStruct((b, ntx, nch, p, KK), jnp.float32),
             jax.ShapeDtypeStruct((b, ntx, KK * c, cout), jnp.float32),
@@ -447,7 +452,6 @@ def _bwd_rule(radius, res, gout):
     # ~12 ms bs16 DCN backward share).
     wc = ntx * TW
     wfull = wc + 2 * s + (wp - TW - 2 * s)
-    assert wp <= 2 * TW, "slab overlap spans >1 neighbour; fall back needed"
 
     def strip(par):
         idx = list(range(par, ntx, 2))
@@ -463,7 +467,15 @@ def _bwd_rule(radius, res, gout):
         return jnp.pad(cat, ((0, 0), (0, 0),
                              (start, wfull - start - cat.shape[2]), (0, 0)))
 
-    dxs = strip(0) + (strip(1) if ntx > 1 else 0.0)
+    if wp <= 2 * TW:
+        dxs = strip(0) + (strip(1) if ntx > 1 else 0.0)
+    else:
+        # wide slabs (large radius or small TW): a slab overlaps more than
+        # its immediate neighbour, so the 2-strip trick does not apply —
+        # fall back to the per-slab scatter-add (ntx pads+adds)
+        dxs = jnp.zeros((b, hc + 2 * s, wfull, c), jnp.float32)
+        for i in range(ntx):
+            dxs = dxs.at[:, :, i * TW : i * TW + wp, :].add(dxt[:, i])
     dx = dxs[:, s : s + h, s : s + w, :].astype(x.dtype)
 
     doff = dofft.reshape(b, ntx, nch, 2 * KK, CH, TW).transpose(

@@ -88,8 +88,10 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
             rng, dn_rng = jax.random.split(rng)
             kwargs["dn"] = dn_fn(batch, dn_rng)
         pre_stats = {}
+        # % 16 (not % 8): the blocked stride-2 row-3 conv is only exact on
+        # an even row-2 grid (see models/model.py eval dispatch).
         use_prologue = (prologue_meta is not None
-                        and img.shape[1] % 8 == 0 and img.shape[2] % 8 == 0)
+                        and img.shape[1] % 16 == 0 and img.shape[2] % 16 == 0)
         if use_prologue:
             from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_train
 

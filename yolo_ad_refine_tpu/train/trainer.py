@@ -381,7 +381,13 @@ class DetectionTrainer:
             # sampling is being clipped and a larger radius (or the exact
             # gather) should be considered.
             self.dcn_offset_max = float(fetched[:, 3].max())
-            dcn_radius = 3.0
+            # running max over the whole run: recorded in checkpoints so
+            # load_checkpoint can widen the DCN clip radius to cover the
+            # trained offsets (reference mmcv kernel is unbounded)
+            self.dcn_offset_max_run = max(self.dcn_offset_max,
+                                          float(getattr(self, "dcn_offset_max_run", 0.0)))
+            head_mod = getattr(getattr(self.model, "head_spec", None), "module", None)
+            dcn_radius = float(getattr(head_mod, "dcn_radius", 3.0))
             if self.dcn_offset_max > 0.9 * dcn_radius:
                 LOGGER.warning(
                     f"max |DCN offset| = {self.dcn_offset_max:.2f} is near/over the "
@@ -464,10 +470,12 @@ class DetectionTrainer:
     def _save_ckpts(self, epoch, fitness):
         if not self.args.get("save", True):
             return
+        off_max = getattr(self, "dcn_offset_max_run", None)
         save_checkpoint(self.wdir / "last", model=self.model, state=self.state, epoch=epoch,
                         best_fitness=self.best_fitness, train_args=self.args,
-                        include_optimizer=True, names=self.data["names"])
+                        include_optimizer=True, names=self.data["names"],
+                        dcn_offset_max=off_max)
         if fitness >= self.best_fitness:
             save_checkpoint(self.wdir / "best", model=self.model, state=self.state, epoch=epoch,
                             best_fitness=self.best_fitness, train_args=self.args,
-                            names=self.data["names"])
+                            names=self.data["names"], dcn_offset_max=off_max)
