@@ -51,7 +51,8 @@ class DetectionGraph(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, dn: dict | None = None,
                  text_feats=None, start_at: int = 0, full_input_h: int | None = None,
-                 stop_at_head: bool = False):
+                 stop_at_head: bool = False, stop_at: int | None = None,
+                 resume_ys: dict | None = None):
         # dn: optional contrastive-denoising group routed to an RTDETRDecoder
         # head (train/rtdetr.py make_cdn_group); text_feats: optional (nc,
         # embed) class text embeddings routed to a WorldDetect head (the
@@ -67,9 +68,15 @@ class DetectionGraph(nn.Module):
         # negative-relative (e.g. [-1, -2] in z-yaml ablations) — exactly the
         # reference's y-list routing (tasks.py:141-168). Entries not in the
         # savelist are dropped to None so XLA frees them.
+        # stop_at=N: run rows [start_at, N) and return (out, saved-ys dict) —
+        # the counterpart resume_ys={row: tensor} seeds the savelist so a
+        # later call can continue at start_at=N (section attribution benches).
         ys: list[Any] = [None] * start_at
         if start_at > 0 and (start_at - 1) in self.save:
             ys[start_at - 1] = x
+        if resume_ys:
+            for j, t in resume_ys.items():
+                ys[int(j)] = t
         out = x
         # running text stream for YOLO-World graphs: C2fAttn consumes it as
         # guide, ImagePoolingAttn refines it, WorldDetect scores against the
@@ -82,6 +89,9 @@ class DetectionGraph(nn.Module):
         for i, (m, f) in enumerate(zip(self.modules, self.froms)):
             if i < start_at:
                 continue
+            if stop_at is not None and i >= stop_at:
+                return out, {j: ys[j] for j in self.save if j < stop_at
+                             and ys[j] is not None}
 
             def fetch(j, i=i):
                 return out if j == -1 else ys[j % i]  # j % i absolutizes negatives
