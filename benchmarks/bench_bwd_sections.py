@@ -135,7 +135,7 @@ def main():
         hv = {"params": vv["params"][f"modules_{hi}"],
               "batch_stats": vv.get("batch_stats", {}).get(f"modules_{hi}", {})}
         return hmod.apply(hv, list(xx["feats"]), train=True,
-                          mutable=["diagnostics"])[0]
+                          mutable=["batch_stats", "diagnostics"])[0]
     sect("head", run_head, v, {"feats": tuple(feats0)})
 
     houts = jax.jit(lambda: run_head(v, {"feats": tuple(feats0)}))()

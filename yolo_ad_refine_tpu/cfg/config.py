@@ -25,7 +25,7 @@ CFG_BOOL_KEYS = {
     "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr",
     "val", "save_json", "half", "plots", "show", "save_txt", "save_conf", "save_crop",
     "show_labels", "show_conf", "visualize", "augment", "agnostic_nms", "amp",
-    "profile", "multi_scale", "pretrained",
+    "profile", "multi_scale", "pretrained", "fsdp",
 }
 # keys accepted besides default.yaml's (runtime/meta, not hyperparameters)
 EXTRA_KEYS = {"model", "data", "mode", "task", "resume", "save_dir", "tracker",

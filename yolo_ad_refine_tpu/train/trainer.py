@@ -274,7 +274,10 @@ class DetectionTrainer:
                                dn_fn=getattr(self, "dn_fn", None),
                                prologue_meta=pro_meta,
                                prologue_dtype=self.model.dtype)
-        self.train_step = make_parallel_train_step(step, self.mesh)
+        # fsdp=True: ZeRO-3 layout — params/optimizer/EMA sharded leaf-wise
+        # over the mesh, XLA inserts all-gather/reduce-scatter (parallel/).
+        self.train_step = make_parallel_train_step(
+            step, self.mesh, fsdp=bool(args.get("fsdp")), state=self.state)
 
         self.validator = DetectionValidator(args={
             **{k: args[k] for k in ("imgsz", "iou", "max_det", "max_boxes")},
