@@ -68,6 +68,7 @@ def chained(fn, label, k=6):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="pro,backbone,neck,head,loss")
+    ap.add_argument("--k", type=int, default=6)
     args = ap.parse_args()
     which = set(args.which.split(","))
 
@@ -94,7 +95,7 @@ def main():
             return
         fwd = chained(lambda c: consume(
             f(vin, jax.tree.map(lambda t: t + c.astype(t.dtype) * 0, xin))),
-            f"{label} fwd")
+            f"{label} fwd", k=args.k)
 
         def both(c):
             xs = jax.tree.map(lambda t: t + c.astype(t.dtype) * 0, xin)
@@ -102,7 +103,7 @@ def main():
                 lambda vv, xx: consume(f(vv, xx)), argnums=(0, 1))(vin, xs)
             return val + consume(g)
 
-        fb = chained(both, f"{label} fwd+vjp")
+        fb = chained(both, f"{label} fwd+vjp", k=args.k)
         results[label] = {"fwd_ms": fwd, "fwd_vjp_ms": fb,
                           "bwd_ms": round(fb - fwd, 3)}
 
@@ -155,6 +156,9 @@ def main():
            "results": results}
     p = Path("benchmarks/artifacts/bwd_sections.json")
     p.parent.mkdir(parents=True, exist_ok=True)
+    if p.exists():  # partial runs (--which) merge into the existing table
+        old = json.loads(p.read_text())
+        out["results"] = {**old.get("results", {}), **results}
     p.write_text(json.dumps(out, indent=1))
     print(json.dumps(results, indent=1))
 

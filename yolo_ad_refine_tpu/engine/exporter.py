@@ -50,13 +50,34 @@ class Exporter:
         self.batch = batch
         self.dtype = jnp.bfloat16 if half else jnp.float32
 
-    def _forward_fn(self, raw_feats: bool = False):
+    def _forward_fn(self, raw_feats: bool = False, convertible: bool = False):
+        """convertible=True (TF-family exports): trace TFLite-legalizable
+        ops — the exact-gather DCN instead of the Pallas custom_call, and
+        EDFFN's bilinear FFT form instead of vhlo.fft (same math, parity
+        in tests/test_dcn_mxu2.py and tests/test_edffn_linear.py). Env is
+        swapped INSIDE fn because the modules read it at trace time."""
         variables = self.model.variables
         graph = self.model.graph
         dtype = self.model.dtype
 
         def fn(x):
-            y, feats = self.model.apply(variables, x.astype(dtype) / 255.0, train=False)
+            import os
+
+            saved = {}
+            if convertible:
+                for k, v_ in (("YAT_DCN_IMPL", "exact"),
+                              ("YAT_EDFFN_FFT", "linear")):
+                    saved[k] = os.environ.get(k)
+                    os.environ[k] = v_
+            try:
+                y, feats = self.model.apply(variables, x.astype(dtype) / 255.0,
+                                            train=False)
+            finally:
+                for k, old in saved.items():
+                    if old is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = old
             if raw_feats:
                 # int8 exports: quantize ONLY the conv body and emit the
                 # per-level raw maps; AutoBackend runs the decode (DFL
@@ -107,7 +128,7 @@ class Exporter:
         import tensorflow as tf
         from jax.experimental import jax2tf
 
-        fn = self._forward_fn(raw_feats=raw_feats)
+        fn = self._forward_fn(raw_feats=raw_feats, convertible=True)
         tf_fn = jax2tf.convert(fn, with_gradient=False)
         module = tf.Module()
         module.f = tf.function(

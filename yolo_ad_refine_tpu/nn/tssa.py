@@ -16,6 +16,7 @@ reference's explicit .float() cast) and the rest runs in the compute dtype.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
 from typing import Any
 
 import jax
@@ -122,6 +123,29 @@ class Mona(nn.Module):
         return identity + y
 
 
+@_lru_cache(maxsize=4)
+def _edffn_linear_basis(ps: int):
+    """G[p, k, q] = irfft2(e_k * rfft2(delta_q))[p] over ps x ps patches:
+    the constant (real) basis that makes the EDFFN frequency filter a plain
+    contraction (see YAT_EDFFN_FFT=linear). Built by composing the actual
+    numpy ops, so it is exact by construction."""
+    import numpy as _np
+
+    p = ps * ps
+    kk = ps * (ps // 2 + 1)
+    deltas = _np.eye(p, dtype=_np.float64).reshape(p, ps, ps)
+    spec = _np.fft.rfft2(deltas)                       # (P, ps, ps//2+1)
+    spec = spec.reshape(p, kk)
+    g = _np.empty((p, kk, p), _np.float32)
+    for k in range(kk):
+        masked = _np.zeros_like(spec)
+        masked[:, k] = spec[:, k]
+        out = _np.fft.irfft2(masked.reshape(p, ps, ps // 2 + 1),
+                             s=(ps, ps))               # (P_in, ps, ps)
+        g[:, k, :] = out.reshape(p, p).T.astype(_np.float32)
+    return g
+
+
 class EDFFN(nn.Module):
     """Frequency-domain FFN from EVSSM (reference block.py:2376-2415).
 
@@ -152,15 +176,41 @@ class EDFFN(nn.Module):
         w_n = (ps - w % ps) % ps
         yp = jnp.pad(y, ((0, 0), (0, h_n), (0, w_n), (0, 0)), mode="reflect")
         hp, wp = h + h_n, w + w_n
-        # (b, gh, ps, gw, ps, c)
-        patches = yp.reshape(b, hp // ps, ps, wp // ps, ps, c)
+        # Patch layout: keep arrays <= 5-D AND the FFT axes trailing.
+        # jnp.fft over interior axes inserts its own transposes — a 6-D one
+        # (original layout) and a complex one (irfft2 input), neither of
+        # which TFLite can legalize (flagship int8 export). With the patch
+        # axes last, rfft2/irfft2 emit no transposes; the two remaining
+        # transposes are 5-D real. Same math, different memory walk.
+        patches = yp.reshape(b * (hp // ps), ps, wp // ps, ps, c)
+        patches = patches.transpose(0, 2, 4, 1, 3)  # (b*gh, gw, c, ps, ps)
         fft_param = self.param(
             "fft", nn.initializers.ones, (ps, ps // 2 + 1, c), jnp.float32
         )
-        f = jnp.fft.rfft2(patches.astype(jnp.float32), axes=(2, 4))
-        # f: (b, gh, ps, gw, ps//2+1, c); filter broadcasts over (b, gh, gw)
-        f = f * fft_param[None, None, :, None, :, :]
-        patches = jnp.fft.irfft2(f, s=(ps, ps), axes=(2, 4))
+        import os
+
+        if os.environ.get("YAT_EDFFN_FFT") == "linear":
+            # TFLite-exportable formulation: irfft2 . diag(f) . rfft2 is
+            # BILINEAR in (patch, filter), so it equals a contraction with a
+            # precomputed constant basis G[p, k, q] = irfft2(e_k * rfft2(
+            # delta_q))[p] — no FFT op in the graph (vhlo.fft does not
+            # legalize to TFLite). ~100x the FLOPs of the FFT on an 8x8
+            # patch, negligible at export batch sizes; exact same math
+            # (asserted by tests/test_edffn_linear.py).
+            g = jnp.asarray(_edffn_linear_basis(ps))          # (P, K, P)
+            pv = patches.astype(jnp.float32).reshape(
+                patches.shape[0], patches.shape[1], c, ps * ps)
+            fk = fft_param.reshape(ps * (ps // 2 + 1), c)     # (K, C)
+            a = jnp.einsum("ngcq,pkq->ngckp", pv, g)
+            out = jnp.einsum("ngckp,kc->ngcp", a, fk)
+            patches = out.reshape(patches.shape[0], patches.shape[1], c,
+                                  ps, ps)
+        else:
+            f = jnp.fft.rfft2(patches.astype(jnp.float32), axes=(-2, -1))
+            # f: (b*gh, gw, c, ps, ps//2+1); broadcasts over (b*gh, gw)
+            f = f * fft_param.transpose(2, 0, 1)[None, None]
+            patches = jnp.fft.irfft2(f, s=(ps, ps), axes=(-2, -1))
+        patches = patches.transpose(0, 3, 1, 4, 2)  # (b*gh, ps, gw, ps, c)
         yp = patches.reshape(b, hp, wp, c)
         return yp[:, :h, :w, :].astype(x_dtype)
 
