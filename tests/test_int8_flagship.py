@@ -16,7 +16,7 @@ import pytest
 pytestmark = pytest.mark.slow
 
 CKPT = Path(__file__).parent.parent / "runs/full_train_synth/flagship/weights/best"
-IMGSZ = 320
+IMGSZ = 256  # flagship minimum (CrossScaleAttention); keeps the gate in RAM on the 1-vCPU host
 
 
 @pytest.mark.skipif(not CKPT.exists(), reason="trained flagship ckpt absent")
@@ -28,6 +28,8 @@ def test_flagship_int8_map_degradation(tmp_path):
     from yolo_ad_refine_tpu.engine.exporter import AutoBackend, Exporter
     from yolo_ad_refine_tpu.engine.validator import DetectionValidator
 
+    import gc
+
     data = make_shapes_dataset(tmp_path / "ds", n_train=16, n_val=16,
                                imgsz=IMGSZ, max_objects=5)
     model = load_checkpoint(CKPT)
@@ -37,6 +39,8 @@ def test_flagship_int8_map_degradation(tmp_path):
     int8_path = exporter("tflite", tmp_path / "q", int8=True,
                          data=tmp_path / "ds" / "train" / "images",
                          n_calib=8)
+    del exporter
+    gc.collect()
 
     val_ds = YOLODataset(str(Path(data["path"]) / data["val"]), imgsz=IMGSZ,
                          augment=False, nc=3, max_boxes=16)
@@ -46,7 +50,9 @@ def test_flagship_int8_map_degradation(tmp_path):
     def map50(path):
         v = DetectionValidator(args=args,
                                dataloader=DataLoader(val_ds, batch_size=1))
-        return v(model=model, backend=AutoBackend(path))["metrics/mAP50(B)"]
+        m = v(model=model, backend=AutoBackend(path))["metrics/mAP50(B)"]
+        gc.collect()
+        return m
 
     m_fp = map50(fp_path)
     m_int8 = map50(int8_path)

@@ -188,7 +188,16 @@ class Exporter:
                     yield [x.astype(np.float32)]
 
             converter.representative_dataset = rep_dataset
-        blob = converter.convert()
+            # Quantize the CONV family only. Full PTQ of the flagship emits
+            # int8 variants of exotic ops (RSQRT/SUM/BROADCAST_TO/DIV from
+            # the TSSA/EDFFN norm math) and one of them aborts the TFLite
+            # runtime at allocate_tensors; convs are where the weights and
+            # FLOPs live, so denylisting the rest keeps the size/speed win
+            # with working kernels (accuracy gated by
+            # tests/test_int8_flagship.py).
+            blob = self._selective_int8(converter, rep_dataset)
+        else:
+            blob = converter.convert()
         path = path.with_suffix(".tflite")
         path.write_bytes(blob)
         if int8:
@@ -199,6 +208,24 @@ class Exporter:
                  "nc": int(self.model.nc),
                  "reg_max": int(getattr(self.model, "reg_max", 16))}))
         return path
+
+    @staticmethod
+    def _selective_int8(converter, rep_dataset):
+        import tensorflow as tf
+
+        opts = tf.lite.experimental.QuantizationDebugOptions(
+            denylisted_ops=[
+                "BROADCAST_TO", "SUM", "RSQRT", "DIV", "SELECT", "SELECT_V2",
+                "BATCH_MATMUL", "L2_NORMALIZATION", "NEG", "ABS", "LESS",
+                "LESS_EQUAL", "GREATER_EQUAL", "CAST", "EXP", "SOFTMAX",
+                "TANH", "TRANSPOSE", "SLICE", "PAD", "MUL", "ADD", "SUB",
+                "LOGISTIC", "CONCATENATION", "RESHAPE", "MAX_POOL_2D",
+                "GATHER_ND", "TRANSPOSE_CONV", "HARD_SWISH"],
+            fully_quantize=False)
+        dbg = tf.lite.experimental.QuantizationDebugger(
+            converter=converter, debug_dataset=rep_dataset,
+            debug_options=opts)
+        return dbg.get_nondebug_quantized_model()
 
     def _calibration_batches(self, data, n_calib: int):
         """Representative inputs for PTQ: real letterboxed images when a

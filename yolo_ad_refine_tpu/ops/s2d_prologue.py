@@ -200,12 +200,26 @@ def d2b(x, C):
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
+def _group1x1_enabled() -> bool:
+    """kron(I4, W) 1x1 convs as feature_group_count=4 grouped convs: the
+    block-diagonal structure is exactly 4 groups sharing W, so the grouped
+    form does 1x the FLOPs instead of 4x (the zeros are never multiplied).
+    A/B'd on TPU (docs/performance.md round-5)."""
+    return os.environ.get("YAT_PROLOGUE_G1", "1").lower() not in ("0", "off")
+
+
 def _conv_bn_silu_blocked(x4, params, stats, G, dtype, *, stride=1, pad=1,
                           kind="k3"):
     """Blocked Conv+BN+SiLU from module params (conv/kernel + bn)."""
     w, b = _fold_bn(params["conv"]["kernel"], params["bn"], stats["bn"])
-    w4 = _scatter(w, G, dtype)
     b4 = jnp.tile(b, 4).astype(dtype)
+    if kind == "1x1" and _group1x1_enabled():
+        wg = jnp.tile(w.astype(dtype), (1, 1, 1, 4))  # (1,1,ci,4co)
+        y = jax.lax.conv_general_dilated(
+            x4, wg, (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=_DN, feature_group_count=4)
+        return jax.nn.silu(y + b4)
+    w4 = _scatter(w, G, dtype)
     y = jax.lax.conv_general_dilated(
         x4, w4, (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=_DN)
@@ -238,7 +252,7 @@ def _c3k2_blocked(x4, params, stats, spec, dtype):
     cv1 = params["cv1"]
     ci = x4.shape[-1] // 4
     y = _conv_bn_silu_blocked(x4, cv1, stats["cv1"], kron4_map(ci, 2 * c),
-                              dtype, stride=1, pad=0)
+                              dtype, stride=1, pad=0, kind="1x1")
     a, b = _phase_split(y, (c, c))
     ys = [a, b]
     c_ = int(c * 0.5)  # C3k2(c3k=False) inner Bottleneck e=0.5 (nn/block.py)
@@ -252,7 +266,7 @@ def _c3k2_blocked(x4, params, stats, spec, dtype):
     cat = _phase_concat(ys)
     return _conv_bn_silu_blocked(cat, params["cv2"], stats["cv2"],
                                  kron4_map((2 + m.n) * c, m.c2), dtype,
-                                 stride=1, pad=0)
+                                 stride=1, pad=0, kind="1x1")
 
 
 # ---------------------------------------------------------------------------
@@ -372,10 +386,19 @@ def _bn_silu_blocked_train(y, bn_params, bn_stats, dtype, eps=1e-3,
 
 def _conv_bn_silu_blocked_train(x4, params, stats, build, dtype, *, stride=1,
                                 pad=1):
-    w4 = build(params["conv"]["kernel"]).astype(dtype)
-    y = jax.lax.conv_general_dilated(
-        x4, w4, (stride, stride), [(pad, pad), (pad, pad)],
-        dimension_numbers=_DN)
+    w = params["conv"]["kernel"]
+    if build is kron4_w and _group1x1_enabled():
+        # block-diagonal 1x1 == 4 weight-shared groups: 1x FLOPs fwd AND
+        # bwd (dw differentiates to a slice-sum, no scatter)
+        wg = jnp.tile(w.astype(dtype), (1, 1, 1, 4))
+        y = jax.lax.conv_general_dilated(
+            x4, wg, (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=_DN, feature_group_count=4)
+    else:
+        w4 = build(w).astype(dtype)
+        y = jax.lax.conv_general_dilated(
+            x4, w4, (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=_DN)
     out, new = _bn_silu_blocked_train(y, params["bn"], stats["bn"], dtype)
     return out, {"bn": new}
 
