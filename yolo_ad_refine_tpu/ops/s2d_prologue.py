@@ -200,12 +200,18 @@ def d2b(x, C):
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _group1x1_enabled() -> bool:
-    """kron(I4, W) 1x1 convs as feature_group_count=4 grouped convs: the
-    block-diagonal structure is exactly 4 groups sharing W, so the grouped
-    form does 1x the FLOPs instead of 4x (the zeros are never multiplied).
-    A/B'd on TPU (docs/performance.md round-5)."""
-    return os.environ.get("YAT_PROLOGUE_G1", "1").lower() not in ("0", "off")
+def _g1_mode() -> str:
+    """kron(I4, W) 1x1 conv formulation. The block-diagonal structure is 4
+    groups sharing W (1x FLOPs vs the 4x scattered dense form):
+
+      scatter  dense 4C->4C' conv with kron(I4, W) weights (round-4)
+      group    feature_group_count=4 conv — measured WORSE on TPU
+               (pro 5.4 -> 8.8 ms; XLA's grouped lowering relayouts)
+      mm       (B*h*w*4, C) @ (C, C') matmul with phase folded into M
+
+    A/B'd on TPU (docs/performance.md round-5); default = best measured.
+    """
+    return os.environ.get("YAT_PROLOGUE_G1", "scatter").lower()
 
 
 def _conv_bn_silu_blocked(x4, params, stats, G, dtype, *, stride=1, pad=1,
@@ -213,11 +219,19 @@ def _conv_bn_silu_blocked(x4, params, stats, G, dtype, *, stride=1, pad=1,
     """Blocked Conv+BN+SiLU from module params (conv/kernel + bn)."""
     w, b = _fold_bn(params["conv"]["kernel"], params["bn"], stats["bn"])
     b4 = jnp.tile(b, 4).astype(dtype)
-    if kind == "1x1" and _group1x1_enabled():
+    mode = _g1_mode()
+    if kind == "1x1" and mode in ("group", "1", "on", "true"):
         wg = jnp.tile(w.astype(dtype), (1, 1, 1, 4))  # (1,1,ci,4co)
         y = jax.lax.conv_general_dilated(
             x4, wg, (stride, stride), [(pad, pad), (pad, pad)],
             dimension_numbers=_DN, feature_group_count=4)
+        return jax.nn.silu(y + b4)
+    if kind == "1x1" and mode == "mm":
+        Bb, h, ww, c4 = x4.shape
+        ci = c4 // 4
+        y = jnp.einsum("bhwpc,cd->bhwpd",
+                       x4.reshape(Bb, h, ww, 4, ci),
+                       w[0, 0].astype(dtype)).reshape(Bb, h, ww, -1)
         return jax.nn.silu(y + b4)
     w4 = _scatter(w, G, dtype)
     y = jax.lax.conv_general_dilated(
@@ -387,13 +401,20 @@ def _bn_silu_blocked_train(y, bn_params, bn_stats, dtype, eps=1e-3,
 def _conv_bn_silu_blocked_train(x4, params, stats, build, dtype, *, stride=1,
                                 pad=1):
     w = params["conv"]["kernel"]
-    if build is kron4_w and _group1x1_enabled():
+    mode = _g1_mode()
+    if build is kron4_w and mode in ("group", "1", "on", "true"):
         # block-diagonal 1x1 == 4 weight-shared groups: 1x FLOPs fwd AND
         # bwd (dw differentiates to a slice-sum, no scatter)
         wg = jnp.tile(w.astype(dtype), (1, 1, 1, 4))
         y = jax.lax.conv_general_dilated(
             x4, wg, (stride, stride), [(pad, pad), (pad, pad)],
             dimension_numbers=_DN, feature_group_count=4)
+    elif build is kron4_w and mode == "mm":
+        Bb, h, ww, c4 = x4.shape
+        ci = c4 // 4
+        y = jnp.einsum("bhwpc,cd->bhwpd",
+                       x4.reshape(Bb, h, ww, 4, ci),
+                       w[0, 0].astype(dtype)).reshape(Bb, h, ww, -1)
     else:
         w4 = build(w).astype(dtype)
         y = jax.lax.conv_general_dilated(
