@@ -64,10 +64,19 @@ def chained(fn, label, k=8):
     return ms
 
 
-def measure_variant(name, H, ch, feats, rng):
-    import importlib
+_ORIG = {}
 
-    importlib.reload(H)  # undo previous patches
+
+def measure_variant(name, H, ch, feats, rng):
+    # restore any previously patched attributes (reload() would re-run the
+    # @register decorators and crash on duplicates)
+    for k, v_ in _ORIG.items():
+        setattr(H, k, v_)
+
+    def patch(attr, repl):
+        _ORIG.setdefault(attr, getattr(H, attr))
+        setattr(H, attr, repl)
+
     Dtype = jnp.bfloat16
 
     class _Id(nn.Module):
@@ -93,11 +102,11 @@ def measure_variant(name, H, ch, feats, rng):
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
                 return nn.GroupNorm(num_groups=16, epsilon=1e-5,
                                     dtype=self.dtype, name="gn")(y)
-        H.DyDCNv2 = _PlainDCN
+        patch("DyDCNv2", _PlainDCN)
     elif name == "no_coord":
-        H.CoordAtt = _Id
+        patch("CoordAtt", _Id)
     elif name == "no_rep":
-        H.ResidualBlockGN = _Id
+        patch("ResidualBlockGN", _Id)
     elif name == "no_decomp":
         class _SimpleDecomp(nn.Module):
             c2: int
@@ -109,7 +118,7 @@ def measure_variant(name, H, ch, feats, rng):
             def __call__(self, feat, avg, train=False):
                 return H.ConvGN(self.c2, 1, dtype=self.dtype,
                                 name="reduce")(feat, train)
-        H.TaskDecomposition = _SimpleDecomp
+        patch("TaskDecomposition", _SimpleDecomp)
     elif name == "no_cross":
         class _NoCross(nn.Module):
             c2: int
@@ -118,7 +127,7 @@ def measure_variant(name, H, ch, feats, rng):
             @nn.compact
             def __call__(self, a, b, train=False):
                 return a, b
-        H.CrossTaskInteraction = _NoCross
+        patch("CrossTaskInteraction", _NoCross)
     elif name == "no_gn":
         from yolo_ad_refine_tpu.nn.common import conv2d as _c2d
 
@@ -135,7 +144,7 @@ def measure_variant(name, H, ch, feats, rng):
                          p=self.k // 2 if self.k > 1 else 0,
                          dtype=self.dtype, name="conv")
                 return nn.silu(y) if self.act else y
-        H.ConvGN = _ConvNoGN
+        patch("ConvGN", _ConvNoGN)
 
     hmod = H.AYHead(nc=3, ch=ch, dtype=Dtype)
     try:
