@@ -67,7 +67,7 @@ def chained(fn, label, k=8):
 _ORIG = {}
 
 
-def measure_variant(name, H, ch, feats, rng):
+def measure_variant(name, H, ch, feats, rng, mode="train"):
     # restore any previously patched attributes (reload() would re-run the
     # @register decorators and crash on duplicates)
     for k, v_ in _ORIG.items():
@@ -154,6 +154,15 @@ def measure_variant(name, H, ch, feats, rng):
               flush=True)
         return None
 
+    if mode == "eval":
+        def ev(c):
+            xs = [t + c.astype(t.dtype) * 0 for t in feats]
+            y, _ = hmod.apply({"params": v["params"]}, xs, train=False,
+                              input_h=IMGSZ)
+            return jnp.sum(y).astype(jnp.float32)
+
+        return chained(ev, f"{name} eval-fwd")
+
     def f(vv, xs):
         return hmod.apply(vv, list(xs), train=True,
                           mutable=["batch_stats", "diagnostics"])[0]
@@ -172,7 +181,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which",
                     default="none,no_dcn,no_coord,no_decomp,no_cross,no_gn,no_rep")
+    ap.add_argument("--mode", default="train", choices=("train", "eval"))
+    ap.add_argument("--batch", type=int, default=0)
     args = ap.parse_args()
+    global B
+    if args.batch:
+        B = args.batch
 
     import yolo_ad_refine_tpu.nn.head as H
     from yolo_ad_refine_tpu.models.model import build_detection_model
@@ -191,10 +205,11 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     results = {}
+    tag = "" if args.mode == "train" else f"_eval_bs{B}"
     for name in args.which.split(","):
-        ms = measure_variant(name, H, ch, feats, rng)
+        ms = measure_variant(name, H, ch, feats, rng, mode=args.mode)
         if ms is not None:
-            results[name] = ms
+            results[name + tag] = ms
 
     out = {"device": str(jax.devices()[0]), "batch": B, "imgsz": IMGSZ,
            "results": results}
