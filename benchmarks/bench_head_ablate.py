@@ -157,8 +157,9 @@ def measure_variant(name, H, ch, feats, rng, mode="train"):
     if mode == "eval":
         def ev(c):
             xs = [t + c.astype(t.dtype) * 0 for t in feats]
-            y, _ = hmod.apply({"params": v["params"]}, xs, train=False,
-                              input_h=IMGSZ)
+            vv = {"params": v["params"],
+                  "batch_stats": v.get("batch_stats", {})}
+            y, _ = hmod.apply(vv, xs, train=False, input_h=IMGSZ)
             return jnp.sum(y).astype(jnp.float32)
 
         return chained(ev, f"{name} eval-fwd")

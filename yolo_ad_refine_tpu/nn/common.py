@@ -262,8 +262,15 @@ class Concat(nn.Module):
 
 
 def max_pool_same(x, k: int, s: int = 1):
-    """MaxPool2d(k, stride, padding=k//2) torch-equivalent."""
+    """MaxPool2d(k, stride, padding=k//2) torch-equivalent.
+
+    Stride-1 pools run SEPARABLY ((k,1) then (1,k)) — exact for max, and
+    2k taps instead of k^2: profile-guided (SPPF's three k=5 pools showed
+    0.29 ms each at bs32 as monolithic 25-tap reduce-windows)."""
     p = k // 2
+    if s == 1 and k > 2:
+        y = nn.max_pool(x, (k, 1), strides=(1, 1), padding=[(p, p), (0, 0)])
+        return nn.max_pool(y, (1, k), strides=(1, 1), padding=[(0, 0), (p, p)])
     return nn.max_pool(x, (k, k), strides=(s, s), padding=[(p, p), (p, p)])
 
 

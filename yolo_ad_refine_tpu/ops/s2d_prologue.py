@@ -458,9 +458,9 @@ def prologue_train(variables, x, dtype, meta):
     new = {}
 
     # rows 0-1 (s2d(4) stem pair), raw weights + live BN
-    B, H, W, C = x.shape
-    xs = x.astype(dtype).reshape(B, H // 4, 4, W // 4, 4, C)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4, 16 * C)
+    from yolo_ad_refine_tpu.ops.s2d_stem import s2d4_restack
+
+    xs = s2d4_restack(x.astype(dtype))
     w0p = stem0_w(p["modules_0"]["conv"]["kernel"]).astype(dtype)
     w1p = stem1_w(p["modules_1"]["conv"]["kernel"]).astype(dtype)
     y = jax.lax.conv_general_dilated(xs, w0p, (1, 1), [(1, 0), (1, 0)],

@@ -123,6 +123,35 @@ def _fold_bn(kernel, bn_params, bn_stats, eps=1e-3):
     return kernel * scale, bn_params["bias"] - bn_stats["mean"] * scale
 
 
+@lru_cache(maxsize=4)
+def _s2d4_perm_kernel(c: int):
+    """(4,4,c,16c) identity scatter: conv(x, K, stride 4) == s2d(4) restack."""
+    k = np.zeros((4, 4, c, 16 * c), np.float32)
+    for u in range(4):
+        for v in range(4):
+            for ch in range(c):
+                k[u, v, ch, (u * 4 + v) * c + ch] = 1.0
+    return k
+
+
+def s2d4_restack(x):
+    """(B,H,W,C) -> (B,H/4,W/4,16C) phase-major s2d(4).
+
+    The profiler shows the transpose+reshape form as THREE ~input-sized
+    copies (~2.2 ms busy-time at bs32/640), but the A/B says they overlap
+    with compute: identity-permutation conv (k4 s4, YAT_S2D_RESTACK=conv)
+    measured 23.38 vs 23.25 ms full eval — null, transpose stays default
+    (round-5, docs/performance.md)."""
+    B, H, W, C = x.shape
+    if os.environ.get("YAT_S2D_RESTACK", "transpose") == "conv":
+        k = jnp.asarray(_s2d4_perm_kernel(C), x.dtype)
+        return jax.lax.conv_general_dilated(
+            x, k, (4, 4), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    xs = x.reshape(B, H // 4, 4, W // 4, 4, C)
+    return xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4, 16 * C)
+
+
 def stem_pair_infer(variables, x, dtype, chans):
     """Fused eval forward of yaml rows 0-1 via the s2d(4) rewrite.
 
@@ -146,9 +175,7 @@ def stem_pair_infer(variables, x, dtype, chans):
     w1p = jnp.concatenate([w1.reshape(-1), pad1])[G1].astype(dtype)
     b0p = jnp.tile(b0, 4).astype(dtype)
 
-    B, H, W, C = x.shape
-    xs = x.reshape(B, H // 4, 4, W // 4, 4, C)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4, 16 * C)
+    xs = s2d4_restack(x)
     dn = ("NHWC", "HWIO", "NHWC")
     y = jax.lax.conv_general_dilated(xs, w0p, (1, 1), [(1, 0), (1, 0)],
                                      dimension_numbers=dn)

@@ -93,18 +93,39 @@ def make_train_step(graph, loss_fn: DetectionLoss, tx, ema_decay: float = 0.9999
         use_prologue = (prologue_meta is not None
                         and img.shape[1] % 16 == 0 and img.shape[2] % 16 == 0)
         if use_prologue:
+            import os
+
             from yolo_ad_refine_tpu.ops.s2d_prologue import prologue_train
 
-            img2, pre_stats = prologue_train(
-                {"params": params, "batch_stats": batch_stats},
-                img, prologue_dtype, prologue_meta)
+            pro_fn = lambda v, im: prologue_train(  # noqa: E731
+                v, im, prologue_dtype, prologue_meta)
+            if os.environ.get("YAT_REMAT_PROLOGUE", "0") == "1":
+                # rematerialize the blocked prologue: its activations are
+                # the largest in the model (H/2 x W/2 x 4C); recomputing
+                # them in the backward trades cheap (underutilized-MXU)
+                # FLOPs for HBM residual traffic (A/B'd, docs/performance.md)
+                pro_fn = jax.checkpoint(pro_fn)
+            img2, pre_stats = pro_fn(
+                {"params": params, "batch_stats": batch_stats}, img)
             kwargs.update(start_at=prologue_start, full_input_h=img.shape[1])
             img = img2
-        feats, mutated = graph.apply(
-            {"params": params, "batch_stats": batch_stats},
-            img, train=True, rngs={"dropout": rng},
-            mutable=["batch_stats", "diagnostics"], **kwargs,
-        )
+        import os as _os
+
+        def _body(v_, im_):
+            return graph.apply(v_, im_, train=True, rngs={"dropout": rng},
+                               mutable=["batch_stats", "diagnostics"],
+                               **kwargs)
+
+        remat = _os.environ.get("YAT_REMAT_BODY", "0")
+        if remat == "dots":
+            # save matmul/conv outputs, recompute elementwise+norm
+            # residuals in the backward (HBM-bound model, MXU underused)
+            _body = jax.checkpoint(
+                _body, policy=jax.checkpoint_policies.dots_saveable)
+        elif remat == "1":
+            _body = jax.checkpoint(_body)
+        feats, mutated = _body(
+            {"params": params, "batch_stats": batch_stats}, img)
         extras = tuple(batch[k] for k in extra_loss_keys)
         out = loss_fn(feats, batch["cls"], batch["bboxes"], batch["mask"], *extras)
         diag_leaves = jax.tree.leaves(mutated.get("diagnostics", {}))
