@@ -110,3 +110,45 @@ def test_model_flops(model):
 
     g = model_flops(model, 64)
     assert g > 0.001  # tiny model still has measurable GFLOPs
+
+
+@pytest.mark.slow
+def test_standalone_val_partial_final_batch(tmp_path):
+    """ADVICE r4: a final partial batch (n_val % batch != 0) must be padded
+    up to the exported artifact's fixed batch, not crash set_tensor."""
+    pytest.importorskip("tensorflow")
+    from yolo_ad_refine_tpu.data import DataLoader, YOLODataset
+    from yolo_ad_refine_tpu.data.synthetic import make_shapes_dataset
+    from yolo_ad_refine_tpu.engine.exporter import AutoBackend, Exporter
+    from yolo_ad_refine_tpu.engine.validator import DetectionValidator
+    from yolo_ad_refine_tpu.models.model import DetectionModel
+
+    cfg = {
+        "nc": 3,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 1, "Conv", [256, 3, 2]],
+        ],
+        "head": [[[2, 3, 4], 1, "Detect", ["nc"]]],
+    }
+    imgsz = 64
+    model = DetectionModel(cfg)
+    model.init(imgsz=imgsz)
+    data = make_shapes_dataset(tmp_path / "ds", n_train=2, n_val=6,
+                               imgsz=imgsz, max_objects=2)
+    path = Exporter(model, imgsz=imgsz, batch=4)("tflite", tmp_path / "m")
+
+    from pathlib import Path as _P
+
+    ds = YOLODataset(str(_P(data["path"]) / data["val"]), imgsz=imgsz,
+                     augment=False, nc=3, max_boxes=8)
+    v = DetectionValidator(
+        args={"imgsz": imgsz, "iou": 0.7, "max_det": 16, "max_boxes": 8,
+              "batch": 4, "conf": 0.001, "plots": False, "task": "detect"},
+        dataloader=DataLoader(ds, batch_size=4))
+    # 6 images / batch 4 -> final batch of 2: must not raise
+    res = v(model=model, backend=AutoBackend(path))
+    assert "metrics/mAP50(B)" in res
